@@ -1,0 +1,149 @@
+"""Scene configuration: a single dataclass mirroring the reference CLI.
+
+Parity target: `parse_args`/`validate_args` (/root/reference/render.py:
+4518-4616). The dataclass is the API; the CLI (cli.py) is a thin shell.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field, replace
+from typing import Optional, Tuple
+
+from .constants import (
+    DISK_GENERATION_SCALE_CHOICES,
+    R_DISK_INNER_DEFAULT,
+    R_DISK_OUTER_DEFAULT,
+)
+
+RESOLUTIONS = {
+    "4k": (3840, 2160),
+    "fhd": (1920, 1080),
+    "hd": (1280, 720),
+    "sd": (640, 360),
+}
+
+
+@dataclass(frozen=True)
+class SceneConfig:
+    """Complete scene + run configuration (the reference's CLI surface)."""
+
+    # Camera
+    pov: Tuple[float, float, float] = (6.0, 0.0, 0.5)
+    fov: float = 90.0
+    resolution: str = "fhd"
+    width: Optional[int] = None  # explicit override of resolution preset
+    height: Optional[int] = None
+
+    # Integration
+    step_size: float = 0.1
+    r_max: float = 10.0
+
+    # Skybox
+    texture: Optional[str] = None
+    n_stars: int = 6000
+    skybox_seed: int = 42
+
+    # Disk
+    disk_texture: Optional[str] = None
+    disk_inner_radius: float = R_DISK_INNER_DEFAULT
+    disk_outer_radius: float = R_DISK_OUTER_DEFAULT
+    disk_tilt: float = 0.0
+    disk_rotation_speed: float = 0.1
+    seed: int = 42
+
+    # Post-FX / AA
+    lens_flare: bool = False
+    anti_alias: str = "disabled"  # "disabled" | "lod_radius"
+    aa_strength: float = 1.0
+
+    # Modes
+    video: bool = False
+    interactive: bool = False
+    orbit: bool = False
+    orbit_degrees: float = 360.0
+    n_frames: int = 3600
+    fps: int = 36
+    resume: bool = False
+    output: str = "output/blackhole.png"
+
+    # Device / parallelism
+    device: str = "auto"  # "auto" | "tpu" | "cpu"
+    frame_shards: int = 0  # 0 = all local devices
+
+    # Deprecated (accepted, ignored — reference render.py:4540-4582)
+    disk_generation_scale: int = 2
+    disk_rotation_algorithm: str = "baseline"
+    keyframes_count: int = 10
+    force_regenerate_disk_texture: bool = False
+
+    @property
+    def image_size(self) -> Tuple[int, int]:
+        """(width, height) in pixels."""
+        if self.width is not None and self.height is not None:
+            return (self.width, self.height)
+        return RESOLUTIONS[self.resolution]
+
+    def validated(self) -> "SceneConfig":
+        """Validate and normalize; raises ValueError on bad input."""
+        fov = self.fov % 180.0
+        if not (0.0 < fov < 180.0):
+            raise ValueError(f"FOV must be in (0, 180), got {self.fov}")
+        if self.disk_inner_radius >= self.disk_outer_radius:
+            raise ValueError(
+                f"disk_inner_radius ({self.disk_inner_radius}) must be less "
+                f"than disk_outer_radius ({self.disk_outer_radius})"
+            )
+        if self.step_size <= 0:
+            raise ValueError(f"step_size must be positive, got {self.step_size}")
+        if not (0.5 <= self.aa_strength <= 2.0):
+            raise ValueError(f"aa_strength must be in [0.5, 2.0], got {self.aa_strength}")
+        if self.n_frames <= 0:
+            raise ValueError(f"n_frames must be positive, got {self.n_frames}")
+        if self.fps <= 0:
+            raise ValueError(f"fps must be positive, got {self.fps}")
+        if not math.isfinite(self.orbit_degrees):
+            raise ValueError(f"orbit_degrees must be finite, got {self.orbit_degrees}")
+        if self.anti_alias not in ("disabled", "lod_radius"):
+            raise ValueError(f"unknown anti_alias mode: {self.anti_alias}")
+        if self.disk_texture and (self.video or self.interactive):
+            raise ValueError(
+                "disk_texture only supports static single-frame rendering; "
+                "video/interactive modes use the lifecycle system"
+            )
+        if self.disk_generation_scale not in DISK_GENERATION_SCALE_CHOICES:
+            raise ValueError(
+                f"disk_generation_scale must be one of "
+                f"{DISK_GENERATION_SCALE_CHOICES}, got {self.disk_generation_scale}"
+            )
+        if self.resolution not in RESOLUTIONS:
+            raise ValueError(f"unknown resolution preset: {self.resolution}")
+        return replace(self, fov=fov)
+
+
+def compute_disk_texture_resolution(
+    width: int,
+    height: int,
+    cam_pos: Tuple[float, float, float],
+    fov: float,
+    r_inner: float,
+    r_outer: float,
+) -> Tuple[int, int]:
+    """Camera-dependent polar texture size (n_phi, n_r).
+
+    ~1 phi sample per screen pixel of disk coverage, 0.5 radial samples;
+    floors of 256/128, rounded up to multiples of 16.
+    Parity: reference render.py:1128-1149.
+    """
+    cam_dist = math.sqrt(sum(c * c for c in cam_pos))
+    ang_radius = math.atan(r_outer / cam_dist)
+    ang_extent = 2.0 * ang_radius
+    screen_fraction = fov * math.pi / 180.0
+
+    n_phi = int(width * (ang_extent / screen_fraction))
+    n_r = int(height * (ang_radius / screen_fraction) * 0.5)
+    n_phi = max(256, n_phi)
+    n_r = max(128, n_r)
+    n_phi += (16 - n_phi % 16) % 16
+    n_r += (16 - n_r % 16) % 16
+    return n_phi, n_r

@@ -1,0 +1,247 @@
+"""Procedural equirectangular starfield skybox.
+
+One-time host-side asset generation (seeded NumPy), mirroring the feature
+set of the reference generator (/root/reference/render.py:153-368):
+galactic-plane density enhancement via rejection sampling, Salpeter IMF
+masses, mass-luminosity + mass-temperature relations, apparent-magnitude
+selection, Gaussian star blobs with horizontal wrap, Milky-Way glow with
+galactic-center brightening and 4-arm sinusoidal modulation.
+
+Asset generation runs once per scene (like a data-loading step), so it
+stays on host; per-frame work (textures, shading, ray-march) is JAX.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..constants import (
+    SKY_GALACTIC_CENTER_GLOW,
+    SKY_MILKY_WAY_GLOW,
+    SKY_STAR_BRIGHTNESS_GAIN,
+    SKY_STAR_BRIGHTNESS_MAX,
+    SKY_STAR_BRIGHTNESS_MIN,
+    SKY_STAR_COLOR_SATURATION,
+    SKY_STAR_SIZE_MAX,
+    SKY_STAR_SIZE_MIN,
+)
+
+# Galactic geometry (J2000-ish): inclination of the galactic plane to the
+# equator and the RA/Dec of the galactic center.
+_GAL_INCL = np.radians(62.87)
+_GAL_RA_CENTER = np.radians(266.4)
+_GAL_DEC_CENTER = np.radians(-28.9)
+
+
+def _blackbody_rgb_np(temp_k: np.ndarray) -> np.ndarray:
+    """NumPy twin of ops.shading.blackbody_rgb (host asset generation)."""
+    t = temp_k / 100.0
+    safe = np.maximum(t - 60.0, 1e-6)
+    r = np.where(t <= 66.0, 1.0, np.clip(1.292936 * np.power(safe, -0.1332047592), 0, 1))
+    g = np.where(
+        t <= 66.0,
+        np.clip(0.390082 * np.log(np.maximum(t, 1e-6)) - 0.631841, 0, 1),
+        np.clip(1.129891 * np.power(safe, -0.0755148492), 0, 1),
+    )
+    b = np.where(
+        t >= 66.0,
+        1.0,
+        np.where(t <= 19.0, 0.0, np.clip(0.543207 * np.log(np.maximum(t - 10.0, 1e-6)) - 1.19625, 0, 1)),
+    )
+    return np.stack([r, g, b], axis=-1).astype(np.float32)
+
+
+def _galactic_latitude(dec: np.ndarray, ra: np.ndarray) -> np.ndarray:
+    """Galactic latitude b for equatorial (dec, ra)."""
+    sin_b = (
+        np.sin(dec) * np.cos(_GAL_INCL)
+        - np.cos(dec) * np.sin(_GAL_INCL) * np.sin(ra - _GAL_RA_CENTER)
+    )
+    return np.arcsin(np.clip(sin_b, -1.0, 1.0))
+
+
+def _sample_star_positions(rng: np.random.Generator, n_stars: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Rejection-sample star directions biased toward the galactic plane."""
+    phis: list = []
+    thetas: list = []
+    count = 0
+    batch = max(n_stars * 3, 256)
+    while count < n_stars:
+        z = rng.uniform(-1.0, 1.0, batch)
+        phi = rng.uniform(0.0, 2.0 * np.pi, batch)
+        theta = np.arccos(np.clip(z, -1.0, 1.0))
+        dec = np.pi / 2 - theta
+
+        b = _galactic_latitude(dec, phi)
+        prob = 0.15 + 0.85 * np.exp(-0.5 * (b / np.radians(8.0)) ** 2)
+        cos_dist = (
+            np.sin(dec) * np.sin(_GAL_DEC_CENTER)
+            + np.cos(dec) * np.cos(_GAL_DEC_CENTER) * np.cos(phi - _GAL_RA_CENTER)
+        )
+        ang_dist = np.arccos(np.clip(cos_dist, -1.0, 1.0))
+        prob = prob + 0.3 * np.exp(-0.5 * (ang_dist / np.radians(20.0)) ** 2)
+        prob = prob / prob.max()
+
+        accept = rng.random(batch) < prob
+        need = n_stars - count
+        phis.extend(phi[accept][:need])
+        thetas.extend(theta[accept][:need])
+        count = len(phis)
+    return np.asarray(phis[:n_stars]), np.asarray(thetas[:n_stars])
+
+
+def _sample_star_photometry(
+    rng: np.random.Generator, n_stars: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Salpeter IMF + magnitude-limited selection -> (brightness, sigma, rgb)."""
+    alpha = 2.35
+    m_lo, m_hi = 0.08, 50.0
+    oversample = n_stars * 30
+    u = rng.random(oversample)
+    mass = (m_lo ** (1 - alpha) + u * (m_hi ** (1 - alpha) - m_lo ** (1 - alpha))) ** (
+        1.0 / (1 - alpha)
+    )
+
+    # Main-sequence mass-luminosity relation, L ~ M^a (Duric 2004 bands).
+    lum_exp = np.where(mass < 0.43, 2.3, np.where(mass < 2.0, 4.0, np.where(mass < 55.0, 3.5, 1.0)))
+    luminosity = np.power(mass, lum_exp)
+    abs_mag = -2.5 * np.log10(luminosity + 1e-30) + 4.83
+
+    dist = np.clip(rng.exponential(scale=200.0, size=oversample), 1.0, 5000.0)
+    app_mag = abs_mag + 5.0 * np.log10(dist / 10.0)
+
+    visible = np.where(app_mag <= 8.0)[0]
+    if len(visible) >= n_stars:
+        idx = rng.choice(visible, size=n_stars, replace=False)
+    else:
+        idx = np.argsort(app_mag)[:n_stars]
+    mass_sel = mass[idx]
+    mag_sel = app_mag[idx]
+
+    mag_norm = (mag_sel - mag_sel.min()) / (mag_sel.max() - mag_sel.min() + 1e-30)
+    brightness = SKY_STAR_BRIGHTNESS_MAX - (SKY_STAR_BRIGHTNESS_MAX - SKY_STAR_BRIGHTNESS_MIN) * mag_norm
+    brightness = np.clip(brightness * SKY_STAR_BRIGHTNESS_GAIN, 0.0, 1.0).astype(np.float32)
+    sigma = (SKY_STAR_SIZE_MIN + (SKY_STAR_SIZE_MAX - SKY_STAR_SIZE_MIN) * brightness).astype(np.float32)
+
+    temp_k = np.clip(5778.0 * np.power(mass_sel, 0.57), 2000.0, 50000.0)
+    colors = _blackbody_rgb_np(temp_k)
+    colors = SKY_STAR_COLOR_SATURATION * colors + (1.0 - SKY_STAR_COLOR_SATURATION)
+    return brightness, sigma, colors.astype(np.float32)
+
+
+def _splat_stars(
+    texture: np.ndarray,
+    cx: np.ndarray,
+    cy: np.ndarray,
+    brightness: np.ndarray,
+    sigma: np.ndarray,
+    colors: np.ndarray,
+) -> None:
+    """Additively splat Gaussian star blobs with horizontal wrap."""
+    tex_h, tex_w = texture.shape[:2]
+    radius = 4
+    offsets = np.arange(-radius, radius + 1, dtype=np.float32)
+    dy, dx = np.meshgrid(offsets, offsets, indexing="ij")
+    dy = dy.ravel()
+    dx = dx.ravel()
+    n_patch = dy.size
+
+    px = (cx[:, None] + dx[None, :]).astype(int) % tex_w
+    py = (cy[:, None] + dy[None, :]).astype(int)
+    d2 = dx[None, :] ** 2 + dy[None, :] ** 2
+    vals = brightness[:, None] * np.exp(-d2 / (2.0 * sigma[:, None] ** 2))
+
+    in_bounds = (py >= 0) & (py < tex_h)
+    flat_y = py[in_bounds]
+    flat_x = px[in_bounds]
+    flat_vals = vals[in_bounds]
+    flat_cols = np.repeat(colors, n_patch, axis=0)[in_bounds.ravel()]
+    np.add.at(texture, (flat_y, flat_x), flat_cols * flat_vals[:, None])
+
+
+def _milky_way_glow(tex_w: int, tex_h: int) -> np.ndarray:
+    """Diffuse Milky-Way band + galactic-center glow + 4-arm modulation."""
+    v = np.linspace(0.0, np.pi, tex_h)
+    u = np.linspace(0.0, 2.0 * np.pi, tex_w)
+    uu, vv = np.meshgrid(u, v)
+    dec = np.pi / 2 - vv
+
+    b = _galactic_latitude(dec, uu)
+    sin_l_cos_b = (
+        np.cos(dec) * np.cos(_GAL_INCL) * np.sin(uu - _GAL_RA_CENTER)
+        + np.sin(dec) * np.sin(_GAL_INCL)
+    )
+    cos_l_cos_b = np.cos(dec) * np.cos(uu - _GAL_RA_CENTER)
+    gal_lon = np.arctan2(sin_l_cos_b, cos_l_cos_b)
+
+    glow = SKY_MILKY_WAY_GLOW * np.exp(-0.5 * (b / np.radians(6.0)) ** 2)
+    glow += SKY_GALACTIC_CENTER_GLOW * np.exp(
+        -0.5 * (gal_lon**2 + b**2) / np.radians(15.0) ** 2
+    )
+
+    arm_pattern = 0.4 + 0.6 * (0.5 + 0.5 * np.cos(4.0 * gal_lon + np.radians(30.0)))
+    arm_mask = np.exp(-0.5 * (b / np.radians(8.0)) ** 2)
+    glow = glow * ((1.0 - arm_mask) + arm_mask * arm_pattern)
+    return glow.astype(np.float32)
+
+
+def _bilinear_upscale(small: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Plain bilinear upscaling of an (h, w, c) array (no PIL dependency)."""
+    h, w = small.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    top = small[y0][:, x0] * (1 - fx) + small[y0][:, x1] * fx
+    bot = small[y1][:, x0] * (1 - fx) + small[y1][:, x1] * fx
+    return (top * (1 - fy) + bot * fy).astype(np.float32)
+
+
+def generate_skybox(
+    tex_w: int = 2048, tex_h: int = 1024, seed: int = 42, n_stars: int = 6000
+) -> np.ndarray:
+    """Generate the (tex_h, tex_w, 3) float32 starfield in [0, 1]."""
+    rng = np.random.default_rng(seed)
+    texture = np.full((tex_h, tex_w, 3), 0.003, dtype=np.float32)
+
+    # Low-frequency nebula haze.
+    neb = rng.random((tex_h // 16, tex_w // 16, 3)).astype(np.float32) * 0.06
+    texture += _bilinear_upscale(neb, tex_w, tex_h) * 0.04
+
+    phi_s, theta_s = _sample_star_positions(rng, n_stars)
+    cx = (phi_s / (2.0 * np.pi) * tex_w).astype(np.float32)
+    cy = (theta_s / np.pi * tex_h).astype(np.float32)
+
+    brightness, sigma, colors = _sample_star_photometry(rng, n_stars)
+    _splat_stars(texture, cx, cy, brightness, sigma, colors)
+
+    texture += _milky_way_glow(tex_w, tex_h)[:, :, None] * np.array(
+        [1.0, 0.95, 0.85], dtype=np.float32
+    )
+    return np.clip(texture, 0.0, 1.0)
+
+
+def load_or_generate_skybox(
+    skybox_path: Optional[str],
+    tex_w: int = 2048,
+    tex_h: int = 1024,
+    n_stars: int = 6000,
+    seed: int = 42,
+) -> Tuple[np.ndarray, int, int]:
+    """Load an external equirectangular texture or generate one."""
+    if skybox_path and os.path.isfile(skybox_path):
+        from PIL import Image
+
+        img = Image.open(skybox_path).convert("RGB")
+        texture = np.asarray(img, dtype=np.float32) / 255.0
+        tex_h, tex_w = texture.shape[:2]
+    else:
+        texture = generate_skybox(tex_w=tex_w, tex_h=tex_h, seed=seed, n_stars=n_stars)
+    return texture, tex_h, tex_w

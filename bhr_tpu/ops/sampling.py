@@ -1,0 +1,181 @@
+"""Gather-based texture sampling (skybox equirect, polar disk, mip LOD).
+
+Parity targets in the reference (scalar Taichi funcs, here vectorized):
+  - `_sample_skybox`    /root/reference/render.py:2541-2566
+  - `_sample_disk`      /root/reference/render.py:2568-2598
+  - `_sample_disk_mip`  /root/reference/render.py:2600-2637
+
+Conventions (identical to the reference):
+  * texel addressing is floor-based with no half-texel offset;
+  * u (azimuth) wraps, v (radius / polar angle) clamps;
+  * the disk texture is polar, rows = radius in [r_inner, r_outer],
+    columns = phi in [0, 2pi); sampling applies a Keplerian rotation
+    offset phi' = phi + t_offset * omega(r).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+TWO_PI = 2.0 * jnp.pi
+
+
+def _bilinear_gather(tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear lookup of ``tex`` (H, W, C) at texel coords (v=row, u=col).
+
+    u wraps modulo W, v clamps to [0, H-1]. Returns (*batch, C).
+    """
+    tex_h, tex_w = tex.shape[0], tex.shape[1]
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    fu = (u - u0.astype(u.dtype))[..., None]
+    fv = (v - v0.astype(v.dtype))[..., None]
+
+    u0w = jnp.mod(u0, tex_w)
+    u1w = jnp.mod(u0 + 1, tex_w)
+    v0h = jnp.clip(v0, 0, tex_h - 1)
+    v1h = jnp.clip(v0 + 1, 0, tex_h - 1)
+
+    c00 = tex[v0h, u0w]
+    c10 = tex[v0h, u1w]
+    c01 = tex[v1h, u0w]
+    c11 = tex[v1h, u1w]
+    return (
+        c00 * (1 - fu) * (1 - fv)
+        + c10 * fu * (1 - fv)
+        + c01 * (1 - fu) * fv
+        + c11 * fu * fv
+    )
+
+
+def sample_skybox(texture: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
+    """Sample an equirectangular skybox along unit ``directions``.
+
+    Args:
+        texture: (H, W, 3).
+        directions: (*B, 3) unit vectors.
+    Returns:
+        (*B, 3) RGB.
+    """
+    tex_h, tex_w = texture.shape[0], texture.shape[1]
+    x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
+    theta = jnp.arccos(jnp.clip(z, -1.0, 1.0))
+    phi = jnp.arctan2(y, x)
+    phi = jnp.where(phi < 0, phi + TWO_PI, phi)
+    u = phi / TWO_PI * tex_w
+    v = theta / jnp.pi * tex_h
+    return _bilinear_gather(texture, u, v)
+
+
+def _disk_uv(
+    hit_x: jnp.ndarray,
+    hit_y: jnp.ndarray,
+    r_inner: float,
+    r_outer: float,
+    t_offset: float,
+    tex_w: int,
+    tex_h: int,
+):
+    """Polar texture coordinates for a disk-plane hit, with Keplerian spin."""
+    r = jnp.sqrt(hit_x**2 + hit_y**2)
+    phi = jnp.arctan2(hit_y, hit_x)
+    r_safe = jnp.maximum(r, 1e-3)
+    omega = jnp.sqrt(0.5 / (r_safe**3 + 1e-6))
+    phi = jnp.mod(phi + t_offset * omega, TWO_PI)
+    u = phi / TWO_PI * tex_w
+    v = (r - r_inner) / (r_outer - r_inner) * tex_h
+    return u, v
+
+
+def sample_disk(
+    disk_tex: jnp.ndarray,
+    hit_x: jnp.ndarray,
+    hit_y: jnp.ndarray,
+    r_inner: float,
+    r_outer: float,
+    t_offset: float = 0.0,
+) -> jnp.ndarray:
+    """Bilinear RGBA sample of the polar disk texture at a plane hit."""
+    u, v = _disk_uv(hit_x, hit_y, r_inner, r_outer, t_offset,
+                    disk_tex.shape[1], disk_tex.shape[0])
+    return _bilinear_gather(disk_tex, u, v)
+
+
+def build_mipmaps(base: jnp.ndarray, levels: int = 4) -> jnp.ndarray:
+    """2x2 box-filter mip pyramid packed into one padded (L, H, W, C) array.
+
+    Level l occupies the top-left (H >> l, W >> l) corner; remaining texels
+    are zero. Mirrors reference `generate_disk_mipmaps` + padded upload
+    (render.py:1113-1125, 2239-2251), but built on device.
+    """
+    h, w = base.shape[0], base.shape[1]
+    mips = [base]
+    cur = base
+    for _ in range(levels):
+        ch, cw = cur.shape[0], cur.shape[1]
+        if ch < 2 or cw < 2:
+            break
+        cur = (
+            cur[0::2, 0::2] + cur[1::2, 0::2] + cur[0::2, 1::2] + cur[1::2, 1::2]
+        ) * 0.25
+        mips.append(cur)
+    padded = []
+    for m in mips:
+        pad_h = h - m.shape[0]
+        pad_w = w - m.shape[1]
+        padded.append(jnp.pad(m, ((0, pad_h), (0, pad_w), (0, 0))))
+    return jnp.stack(padded, axis=0)
+
+
+def sample_disk_mip(
+    mips: jnp.ndarray,
+    num_levels: int,
+    hit_x: jnp.ndarray,
+    hit_y: jnp.ndarray,
+    r_inner: float,
+    r_outer: float,
+    t_offset: float,
+    lod: jnp.ndarray,
+) -> jnp.ndarray:
+    """Mip-LOD RGBA sample: nearest mip level, bilinear within the level.
+
+    ``mips`` is the padded pyramid from :func:`build_mipmaps`; ``lod`` is a
+    per-sample float LOD (truncated to an integer level, matching the
+    reference's `lod_i = int(clamp(lod, 0, L-1))`).
+    """
+    base_h, base_w = mips.shape[1], mips.shape[2]
+    r = jnp.sqrt(hit_x**2 + hit_y**2)
+    phi = jnp.arctan2(hit_y, hit_x)
+    r_safe = jnp.maximum(r, 1e-3)
+    omega = jnp.sqrt(0.5 / (r_safe**3 + 1e-6))
+    phi = jnp.mod(phi + t_offset * omega, TWO_PI)
+
+    lod_i = jnp.clip(lod, 0.0, num_levels - 1).astype(jnp.int32)
+    scale = jnp.power(2.0, lod_i.astype(jnp.float32))
+    w_lod = base_w / scale
+    h_lod = base_h / scale
+    w_lod_i = (base_w // (2**lod_i.astype(jnp.int32))).astype(jnp.int32)
+    h_lod_i = (base_h // (2**lod_i.astype(jnp.int32))).astype(jnp.int32)
+
+    u = phi / TWO_PI * w_lod
+    v = (r - r_inner) / (r_outer - r_inner) * h_lod
+
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    fu = (u - u0.astype(u.dtype))[..., None]
+    fv = (v - v0.astype(v.dtype))[..., None]
+    u0w = jnp.mod(u0, w_lod_i)
+    u1w = jnp.mod(u0 + 1, w_lod_i)
+    v0h = jnp.clip(v0, 0, h_lod_i - 1)
+    v1h = jnp.clip(v0 + 1, 0, h_lod_i - 1)
+
+    c00 = mips[lod_i, v0h, u0w]
+    c10 = mips[lod_i, v0h, u1w]
+    c01 = mips[lod_i, v1h, u0w]
+    c11 = mips[lod_i, v1h, u1w]
+    return (
+        c00 * (1 - fu) * (1 - fv)
+        + c10 * fu * (1 - fv)
+        + c01 * (1 - fu) * fv
+        + c11 * fu * fv
+    )

@@ -1,0 +1,40 @@
+"""Device mesh helpers for multi-chip frame rendering.
+
+The reference is single-process single-device; its latent frame-level
+parallelism (sequential orbit loop, render.py:4437-4476) becomes the
+primary multi-chip axis here: orbit frames are embarrassingly parallel
+given deterministic per-frame scene state, so they shard across chips
+over ICI with no collectives in the render path (only a gather of
+completed frames / metrics at the end).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_frame_mesh(
+    n_frames_axis: Optional[int] = None,
+    n_tile_axis: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Create a ("frames", "tile") mesh over the available devices.
+
+    frames — data-parallel axis over orbit frames.
+    tile   — spatial axis splitting pixel rows within a frame (useful for
+             single large frames on many chips).
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    total = len(devs)
+    if n_frames_axis is None:
+        n_frames_axis = total // n_tile_axis
+    if n_frames_axis * n_tile_axis != total:
+        raise ValueError(
+            f"mesh {n_frames_axis}x{n_tile_axis} != {total} devices"
+        )
+    arr = np.asarray(devs).reshape(n_frames_axis, n_tile_axis)
+    return Mesh(arr, ("frames", "tile"))

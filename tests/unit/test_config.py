@@ -1,0 +1,60 @@
+"""SceneConfig validation + texture-resolution parity tests."""
+
+import pytest
+
+from bhr_tpu.config import SceneConfig, compute_disk_texture_resolution
+
+
+def test_defaults_valid():
+    cfg = SceneConfig().validated()
+    assert cfg.image_size == (1920, 1080)
+
+
+def test_fov_wraps_mod_180():
+    cfg = SceneConfig(fov=90.0).validated()
+    assert cfg.fov == 90.0
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(fov=0.0),
+        dict(fov=180.0),
+        dict(disk_inner_radius=5.0, disk_outer_radius=3.0),
+        dict(step_size=0.0),
+        dict(step_size=-1.0),
+        dict(aa_strength=0.4),
+        dict(aa_strength=2.5),
+        dict(n_frames=0),
+        dict(fps=0),
+        dict(orbit_degrees=float("inf")),
+        dict(anti_alias="bogus"),
+        dict(disk_texture="x.png", video=True),
+        dict(disk_texture="x.png", interactive=True),
+        dict(disk_generation_scale=3),
+    ],
+)
+def test_invalid_configs_raise(kwargs):
+    with pytest.raises(ValueError):
+        SceneConfig(**kwargs).validated()
+
+
+def test_resolution_presets():
+    assert SceneConfig(resolution="sd").image_size == (640, 360)
+    assert SceneConfig(resolution="4k").image_size == (3840, 2160)
+    assert SceneConfig(width=123, height=45).image_size == (123, 45)
+
+
+def test_texture_resolution_floors_and_rounding():
+    n_phi, n_r = compute_disk_texture_resolution(64, 64, (6, 0, 0.5), 90, 2.0, 3.5)
+    assert n_phi == 256 and n_r == 128  # floors kick in
+    n_phi, n_r = compute_disk_texture_resolution(
+        1920, 1080, (6, 0, 0.5), 90, 2.0, 15.0
+    )
+    assert n_phi % 16 == 0 and n_r % 16 == 0
+    assert n_phi >= 256 and n_r >= 128
+
+
+def test_negative_orbit_degrees_allowed():
+    cfg = SceneConfig(orbit_degrees=-360.0).validated()
+    assert cfg.orbit_degrees == -360.0

@@ -1,0 +1,161 @@
+"""Physics tests for the geodesic integrator.
+
+Validates against closed-form GR results (weak-field deflection, photon
+sphere capture) rather than against the reference implementation — the
+physics itself is the oracle.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bhr_tpu.camera import build_camera
+from bhr_tpu.ops import geodesic
+
+
+def _trace_single(direction, origin, **kw):
+    dirs = jnp.asarray([direction], dtype=jnp.float32)
+    return geodesic.trace_geodesics(jnp.asarray(origin, dtype=jnp.float32), dirs, **kw)
+
+
+def test_radial_ray_captured():
+    """A ray aimed straight at the center has L=0 and falls in."""
+    res = _trace_single(
+        [-1.0, 0.0, 0.0], [20.0, 0.0, 0.0], h_base=0.1, r_escape=50.0
+    )
+    assert bool(res.captured[0])
+    assert not bool(res.escaped[0])
+
+
+def test_photon_sphere_capture_threshold():
+    """Critical impact parameter b_c = 3*sqrt(3)/2 * rs ~ 2.598 rs.
+
+    Launch parallel rays from far away at impact parameters straddling
+    b_c: below -> captured, above -> escaped.
+    """
+    origin_x = 500.0
+    for b, expect_captured in [(2.0, True), (2.4, True), (2.8, False), (3.5, False)]:
+        res = _trace_single(
+            [-1.0, 0.0, 0.0], [origin_x, b, 0.0], h_base=0.1, r_escape=600.0
+        )
+        assert bool(res.captured[0]) == expect_captured, f"b={b}"
+        assert bool(res.escaped[0]) == (not expect_captured), f"b={b}"
+
+
+def test_weak_field_deflection_angle():
+    """Far-field deflection ~ 2 rs / b (= 4GM/b with rs = 2GM)."""
+    b = 30.0
+    res = _trace_single(
+        [-1.0, 0.0, 0.0], [2000.0, b, 0.0], h_base=0.5, r_escape=4000.0
+    )
+    assert bool(res.escaped[0])
+    out_dir = np.asarray(res.escape_dir[0])
+    in_dir = np.array([-1.0, 0.0, 0.0])
+    cosang = np.clip(np.dot(out_dir, in_dir), -1, 1)
+    deflection = np.arccos(cosang)
+    expected = 2.0 / b
+    assert abs(deflection - expected) / expected < 0.1, (deflection, expected)
+
+
+def test_flat_space_limit_straight_line():
+    """With huge impact parameter the ray is essentially undeflected."""
+    res = _trace_single(
+        [-1.0, 0.0, 0.0], [3000.0, 500.0, 0.0], h_base=1.0, r_escape=8000.0
+    )
+    assert bool(res.escaped[0])
+    out_dir = np.asarray(res.escape_dir[0])
+    assert np.dot(out_dir, [-1.0, 0.0, 0.0]) > 0.99995
+
+
+def test_disk_plane_crossing_recorded():
+    """A ray tilted downward through z=0 inside [r_in, r_out] records a hit."""
+    # Start above the plane at x=3, moving straight down: crosses z=0 at
+    # roughly (3, 0) -> r=3 within [2, 4]. Gravity bends it slightly.
+    res = _trace_single(
+        [0.0, 0.0, -1.0],
+        [3.0, 0.0, 2.0],
+        h_base=0.05,
+        r_escape=20.0,
+        tilt_deg=0.0,
+        r_inner=2.0,
+        r_outer=4.0,
+    )
+    assert int(res.hit_count[0]) >= 1
+    hx, hy = float(res.hits[0, 0, 0]), float(res.hits[0, 0, 1])
+    hr = np.hypot(hx, hy)
+    assert 2.0 <= hr <= 4.0
+    # t_frac within the step
+    assert 0.0 <= float(res.hits[0, 0, 11]) <= 1.0
+
+
+def test_hits_outside_radius_not_recorded():
+    """Crossing outside [r_in, r_out] must not be recorded."""
+    res = _trace_single(
+        [0.0, 0.0, -1.0],
+        [10.0, 0.0, 2.0],
+        h_base=0.05,
+        r_escape=30.0,
+        tilt_deg=0.0,
+        r_inner=2.0,
+        r_outer=4.0,
+    )
+    assert int(res.hit_count[0]) == 0
+
+
+def test_tilted_plane_crossing():
+    """With tilt, the crossing plane is z = y*tan(tilt)."""
+    tilt = 20.0
+    tan_t = np.tan(np.radians(tilt))
+    # Ray along -z at (0, 3): plane height there is z = 3*tan_t.
+    res = _trace_single(
+        [0.0, 0.0, -1.0],
+        [0.0, 3.0, 5.0],
+        h_base=0.05,
+        r_escape=20.0,
+        tilt_deg=tilt,
+        r_inner=1.5,
+        r_outer=5.0,
+    )
+    assert int(res.hit_count[0]) >= 1
+    hy = float(res.hits[0, 0, 1])
+    # hit z is defined as y*tan(tilt); y should be near 3 (weak bending)
+    assert abs(hy - 3.0) < 0.3
+
+
+def test_differentials_transported():
+    """Ray differentials grow roughly linearly in flat space."""
+    cam = build_camera([2000.0, 0.0, 0.0], 60.0, 8, 8)
+    dirs, ddx, ddy = geodesic.primary_rays(cam)
+    res = geodesic.trace_geodesics(
+        jnp.asarray(cam.pos),
+        dirs,
+        h_base=2.0,
+        r_escape=4000.0,
+        with_differentials=True,
+        d_dir_dx0=ddx,
+        d_dir_dy0=ddy,
+        r_inner=1.0,
+        r_outer=1.5,
+        tilt_deg=90.0,  # plane x=... effectively never hit at these radii
+    )
+    assert bool(res.escaped.all())
+
+
+def test_deterministic():
+    cam = build_camera([6.0, 0.0, 0.5], 60.0, 16, 16)
+    dirs, _, _ = geodesic.primary_rays(cam)
+    kw = dict(h_base=0.1, r_escape=12.0, r_inner=2.0, r_outer=3.5)
+    r1 = geodesic.trace_geodesics(jnp.asarray(cam.pos), dirs, **kw)
+    r2 = geodesic.trace_geodesics(jnp.asarray(cam.pos), dirs, **kw)
+    np.testing.assert_array_equal(np.asarray(r1.hits), np.asarray(r2.hits))
+    np.testing.assert_array_equal(np.asarray(r1.escape_dir), np.asarray(r2.escape_dir))
+
+
+def test_adaptive_step_bounds():
+    r = jnp.asarray([1.001, 1.5, 10.0, 100.0, 10000.0])
+    h = np.asarray(geodesic.adaptive_step(r, 0.1))
+    assert (h >= 0.1 * 0.2 - 1e-6).all()
+    assert (h <= 0.1 * 10.0 + 1e-6).all()
+    # near horizon strongly damped
+    assert h[0] < 0.05
+    # far field maxed out
+    assert np.isclose(h[-1], 1.0, atol=1e-5)

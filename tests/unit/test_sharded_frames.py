@@ -1,0 +1,87 @@
+"""Multi-device frame sharding tests (8 virtual CPU devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bhr_tpu.config import SceneConfig
+from bhr_tpu.ops.sampling import build_mipmaps
+from bhr_tpu.parallel.frames import (
+    build_sharded_frame_renderer,
+    cameras_for_orbit,
+    pack_cameras,
+)
+from bhr_tpu.parallel.mesh import make_frame_mesh
+from bhr_tpu.utils.io import compute_edge_alpha
+
+
+@pytest.fixture(scope="module")
+def tiny_scene():
+    width, height = 32, 16
+    config = SceneConfig(
+        width=width, height=height, fov=60.0, step_size=0.2,
+        disk_inner_radius=2.0, disk_outer_radius=3.5, disk_tilt=15.0,
+        orbit=True, n_frames=8,
+    ).validated()
+    skybox = jnp.asarray(
+        np.random.default_rng(0).random((32, 64, 3)).astype(np.float32)
+    )
+    tex = np.random.default_rng(1).random((16, 64, 4)).astype(np.float32)
+    tex[..., 3] *= compute_edge_alpha(16)[:, None]
+    mips = build_mipmaps(jnp.asarray(tex), levels=2)
+    return config, skybox, mips
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_frames_sharded_render(tiny_scene):
+    config, skybox, mips = tiny_scene
+    mesh = make_frame_mesh(4, 2)
+    width, height = config.image_size
+    total_frames = 8  # 2 per frame-shard
+    cams = cameras_for_orbit(config, range(total_frames), width, height)
+    cam_pack = jnp.asarray(pack_cameras(cams))
+    t_offsets = jnp.arange(total_frames, dtype=jnp.float32) * 0.1
+
+    render = build_sharded_frame_renderer(
+        mesh, config, width, height, 2,
+        r_escape=max(config.r_max, 2.0 * float(np.linalg.norm(config.pov))),
+    )
+    out = np.asarray(render(skybox, mips, cam_pack, t_offsets))
+    assert out.shape == (total_frames, height, width, 3)
+    assert np.isfinite(out).all()
+    # Orbit frames must differ (camera moved).
+    assert not np.allclose(out[0], out[4])
+
+
+def test_sharded_matches_single_device(tiny_scene):
+    """The 8-way sharded result equals a 1-device run frame-for-frame."""
+    config, skybox, mips = tiny_scene
+    width, height = config.image_size
+    total_frames = 4
+    cams = cameras_for_orbit(config, range(total_frames), width, height)
+    cam_pack = jnp.asarray(pack_cameras(cams))
+    t_offsets = jnp.arange(total_frames, dtype=jnp.float32) * 0.1
+    r_escape = max(config.r_max, 2.0 * float(np.linalg.norm(config.pov)))
+
+    mesh_multi = make_frame_mesh(4, 2)
+    render_multi = build_sharded_frame_renderer(
+        mesh_multi, config, width, height, 1, r_escape=r_escape
+    )
+    out_multi = np.asarray(render_multi(skybox, mips, cam_pack, t_offsets))
+
+    mesh_single = make_frame_mesh(1, 1, devices=jax.devices()[:1])
+    render_single = build_sharded_frame_renderer(
+        mesh_single, config, width, height, total_frames, r_escape=r_escape
+    )
+    out_single = np.asarray(render_single(skybox, mips, cam_pack, t_offsets))
+
+    # A few boundary rays land on the opposite side of fp-sensitive
+    # termination thresholds under different tilings; require near-exact
+    # agreement for ~all pixels and a small absolute cap overall.
+    diff = np.abs(out_multi - out_single)
+    assert (diff < 2e-5).mean() > 0.99
+    assert diff.max() < 5e-3
