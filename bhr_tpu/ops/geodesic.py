@@ -48,13 +48,18 @@ HIT_FEATURES = 12
 
 
 class TraceResult(NamedTuple):
-    """Output of the geodesic integrator for N rays."""
+    """Output of the geodesic integrator for N rays.
+
+    ``hits`` uses (K, HIT_FEATURES, N) layout — feature planes contiguous
+    over rays — so the Pallas kernel's tiled output reshapes into it with
+    zero transposes at full-frame sizes.
+    """
 
     captured: jnp.ndarray  # (N,) bool — fell through the horizon
     escaped: jnp.ndarray  # (N,) bool — left the escape sphere / affine cap
     escape_dir: jnp.ndarray  # (N, 3) unit direction for skybox lookup
     hit_count: jnp.ndarray  # (N,) int32 number of recorded disk crossings
-    hits: jnp.ndarray  # (N, K, HIT_FEATURES)
+    hits: jnp.ndarray  # (K, HIT_FEATURES, N)
     steps: jnp.ndarray  # () int32 — iterations executed (diagnostics)
 
 
@@ -311,7 +316,8 @@ def trace_geodesics(
         escaped=final["escaped"],
         escape_dir=final["escape_dir"],
         hit_count=final["hit_count"],
-        hits=final["hits"],
+        # Internal scatter layout is (N, K, F); canonical is (K, F, N).
+        hits=jnp.transpose(final["hits"], (1, 2, 0)),
         steps=final["step"],
     )
 

@@ -1,0 +1,472 @@
+"""Pallas TPU ray-march kernel: per-tile early exit geodesic integration.
+
+Production path for large frames, replacing the pure-JAX lock-step loop
+of ops/geodesic.py. Why this shape:
+
+  * The divergence problem: photon-ring rays orbit for thousands of RK4
+    steps while typical rays finish in a few hundred. A global lock-step
+    `lax.while_loop` over the whole image pays the worst-case trip count
+    on every ray AND streams ~100s of MB of state through HBM per
+    iteration (measured 43 s / FHD frame). Divergence is spatially
+    correlated — long-running rays cluster in a thin annulus around the
+    photon ring — so tiling the image and letting each tile's loop exit
+    as soon as *its* rays are done recovers nearly all the waste.
+  * All integration state lives in VMEM registers/arrays for the tile;
+    the only HBM traffic is the small per-tile result blocks written
+    once at the end. Primary rays are generated inside the kernel from
+    camera scalars (SMEM) — no ray buffers in HBM at all.
+  * Zero gathers in the loop (deferred shading contract shared with
+    ops/geodesic.py): disk-plane crossings write into K per-ray hit
+    slots held in VMEM via masked selects.
+
+Physics parity: identical math to ops/geodesic.py (which is itself the
+semantics twin of the reference kernel, /root/reference/render.py:
+2787-3006); equivalence is asserted in tests/unit/test_pallas_parity.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..camera import Camera
+from ..constants import MAX_DISK_CROSSINGS, RS
+from .geodesic import HIT_FEATURES, TraceResult
+
+# Tile shape: BR sublanes x BC lanes of pixels per kernel instance.
+BLOCK_ROWS = 16
+BLOCK_COLS = 128
+
+# Camera parameter vector layout (SMEM):
+#   0:3 cam_pos, 3:6 right, 6:9 up, 9:12 forward, 12 pw, 13 ph
+CAM_PARAMS = 14
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _accel(px, py, pz, neg_15_l2):
+    """a = -1.5 L2 pos / r^5; neg_15_l2 = -1.5 * L2 precomputed."""
+    r2 = px * px + py * py + pz * pz
+    inv_r5 = jax.lax.rsqrt(r2) / (r2 * r2)  # 1 / r^5
+    f = neg_15_l2 * inv_r5
+    return f * px, f * py, f * pz
+
+
+def _accel_jac(px, py, pz, dx, dy, dz, neg_15_l2):
+    """J(pos) @ d = -1.5 L2 / r^5 (d - 5 pos (pos.d)/r^2)."""
+    r2 = px * px + py * py + pz * pz
+    inv_r2 = 1.0 / r2
+    inv_r5 = jax.lax.rsqrt(r2) * inv_r2 * inv_r2
+    f = neg_15_l2 * inv_r5
+    proj = (px * dx + py * dy + pz * dz) * inv_r2
+    return (
+        f * (dx - 5.0 * px * proj),
+        f * (dy - 5.0 * py * proj),
+        f * (dz - 5.0 * pz * proj),
+    )
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(x * x + y * y + z * z + 1e-18)
+    return x * inv, y * inv, z * inv
+
+
+def build_ray_march_kernel(
+    *,
+    width: int,
+    height: int,
+    h_base: float,
+    r_escape: float,
+    rs: float,
+    tilt_deg: float,
+    r_inner: float,
+    r_outer: float,
+    with_differentials: bool,
+    max_crossings: int,
+    record_hits: bool,
+    block_rows: int = BLOCK_ROWS,
+    block_cols: int = BLOCK_COLS,
+    max_iter_override: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Build the tiled ray-march pallas_call for a static configuration.
+
+    Returns a function (cam_params (14,) f32) -> (captured, escaped,
+    escape_dir, hit_count, hits) with shapes ((H,W), (H,W), (3,H,W),
+    (H,W) i32, (K, HIT_FEATURES, H, W)) on the *padded* grid; the wrapper
+    crops.
+    """
+    tan_t = float(np.tan(np.deg2rad(tilt_deg)))
+    max_affine = r_escape * 40.0
+    max_iter = (
+        int(max_iter_override)
+        if max_iter_override is not None
+        else int(r_escape * 40.0 / h_base)
+    )
+    k_slots = max_crossings
+
+    pad_h = -height % block_rows
+    pad_w = -width % block_cols
+    hp, wp = height + pad_h, width + pad_w
+    grid = (hp // block_rows, wp // block_cols)
+
+    def kernel(cam_ref, captured_ref, escaped_ref, escdir_ref, count_ref,
+               hits_ref):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+
+        cx, cy, cz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+        rx, ry, rz = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
+        ux, uy, uz = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
+        fx, fy, fz = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
+        pw, ph = cam_ref[0, 12], cam_ref[0, 13]
+
+        # Image-plane top-left (1 unit ahead of the camera).
+        tlx = cx + fx - rx * (pw * width * 0.5) + ux * (ph * height * 0.5)
+        tly = cy + fy - ry * (pw * width * 0.5) + uy * (ph * height * 0.5)
+        tlz = cz + fz - rz * (pw * width * 0.5) + uz * (ph * height * 0.5)
+
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (block_rows, block_cols), 0
+        ).astype(jnp.float32)
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (block_rows, block_cols), 1
+        ).astype(jnp.float32)
+        py_pix = rows + ti.astype(jnp.float32) * block_rows
+        px_pix = cols + tj.astype(jnp.float32) * block_cols
+
+        def ray_dir(px_off, py_off):
+            a = (px_pix + px_off) * pw
+            b = (py_pix + py_off) * ph
+            dx = tlx + a * rx - b * ux - cx
+            dy = tly + a * ry - b * uy - cy
+            dz = tlz + a * rz - b * uz - cz
+            return _normalize3(dx, dy, dz)
+
+        dx0, dy0, dz0 = ray_dir(0.5, 0.5)
+
+        # Conserved -1.5 * L^2 with L = |dir x pos|.
+        lx = dy0 * cz - dz0 * cy
+        ly = dz0 * cx - dx0 * cz
+        lz = dx0 * cy - dy0 * cx
+        neg_15_l2 = -1.5 * (lx * lx + ly * ly + lz * lz)
+
+        shape = (block_rows, block_cols)
+        zeros = jnp.zeros(shape, jnp.float32)
+        pos = (jnp.full(shape, cx), jnp.full(shape, cy), jnp.full(shape, cz))
+        dirv = (dx0, dy0, dz0)
+
+        if with_differentials:
+            ax1, ay1, az1 = ray_dir(1.5, 0.5)
+            bx1, by1, bz1 = ray_dir(0.5, 1.5)
+            ddx0 = (ax1 - dx0, ay1 - dy0, az1 - dz0)
+            ddy0 = (bx1 - dx0, by1 - dy0, bz1 - dz0)
+        else:
+            ddx0 = (zeros, zeros, zeros)
+            ddy0 = (zeros, zeros, zeros)
+
+        state = (
+            pos,                       # 0 position
+            dirv,                      # 1 direction
+            (zeros, zeros, zeros),     # 2 d_pos_dx
+            ddx0,                      # 3 d_dir_dx
+            (zeros, zeros, zeros),     # 4 d_pos_dy
+            ddy0,                      # 5 d_dir_dy
+            zeros,                     # 6 affine
+            jnp.ones(shape, jnp.float32),   # 7 active (f32 0/1 — i1
+            # loop carries fail to legalize in Mosaic)
+            jnp.zeros(shape, jnp.float32),  # 8 captured
+            jnp.zeros(shape, jnp.float32),  # 9 escaped
+            (zeros, zeros, zeros),     # 10 escape_dir
+            jnp.zeros(shape, jnp.int32),  # 11 hit_count
+            jnp.zeros((k_slots, HIT_FEATURES) + shape, jnp.float32),  # 12 hits
+            jnp.int32(0),              # 13 step
+        )
+
+        def cond(s):
+            return jnp.logical_and(s[13] < max_iter, jnp.max(s[7]) > 0.5)
+
+        def body(s):
+            (px, py, pz) = s[0]
+            (vx, vy, vz) = s[1]
+            active = s[7] > 0.5
+
+            r2 = px * px + py * py + pz * pz
+            r_cur = jnp.sqrt(r2)
+            # Adaptive step (reference render.py:2858-2869).
+            r_safe = jnp.maximum(r_cur, rs + 1e-3)
+            far = jnp.minimum(jnp.sqrt(r_safe / rs), 10.0)
+            near = 1.0 / (1.0 + 2.0 * (rs / r_safe) ** 3)
+            h = h_base * jnp.clip(far * near, 0.2, 10.0)
+
+            # RK4 of (pos, dir).
+            k1px, k1py, k1pz = h * vx, h * vy, h * vz
+            a1x, a1y, a1z = _accel(px, py, pz, neg_15_l2)
+            k1dx, k1dy, k1dz = h * a1x, h * a1y, h * a1z
+            k2px, k2py, k2pz = h * (vx + 0.5 * k1dx), h * (vy + 0.5 * k1dy), h * (vz + 0.5 * k1dz)
+            a2x, a2y, a2z = _accel(px + 0.5 * k1px, py + 0.5 * k1py, pz + 0.5 * k1pz, neg_15_l2)
+            k2dx, k2dy, k2dz = h * a2x, h * a2y, h * a2z
+            k3px, k3py, k3pz = h * (vx + 0.5 * k2dx), h * (vy + 0.5 * k2dy), h * (vz + 0.5 * k2dz)
+            a3x, a3y, a3z = _accel(px + 0.5 * k2px, py + 0.5 * k2py, pz + 0.5 * k2pz, neg_15_l2)
+            k3dx, k3dy, k3dz = h * a3x, h * a3y, h * a3z
+            k4px, k4py, k4pz = h * (vx + k3dx), h * (vy + k3dy), h * (vz + k3dz)
+            a4x, a4y, a4z = _accel(px + k3px, py + k3py, pz + k3pz, neg_15_l2)
+            k4dx, k4dy, k4dz = h * a4x, h * a4y, h * a4z
+
+            sixth = 1.0 / 6.0
+            npx = px + (k1px + 2 * k2px + 2 * k3px + k4px) * sixth
+            npy = py + (k1py + 2 * k2py + 2 * k3py + k4py) * sixth
+            npz = pz + (k1pz + 2 * k2pz + 2 * k3pz + k4pz) * sixth
+            nvx = vx + (k1dx + 2 * k2dx + 2 * k3dx + k4dx) * sixth
+            nvy = vy + (k1dy + 2 * k2dy + 2 * k3dy + k4dy) * sixth
+            nvz = vz + (k1dz + 2 * k2dz + 2 * k3dz + k4dz) * sixth
+
+            if with_differentials:
+                def diff_rk4(dp, dd):
+                    dpx, dpy, dpz = dp
+                    ddx, ddy, ddz = dd
+                    q1px, q1py, q1pz = h * ddx, h * ddy, h * ddz
+                    j1x, j1y, j1z = _accel_jac(px, py, pz, dpx, dpy, dpz, neg_15_l2)
+                    q1dx, q1dy, q1dz = h * j1x, h * j1y, h * j1z
+                    q2px, q2py, q2pz = h * (ddx + 0.5 * q1dx), h * (ddy + 0.5 * q1dy), h * (ddz + 0.5 * q1dz)
+                    j2x, j2y, j2z = _accel_jac(
+                        px + 0.5 * k1px, py + 0.5 * k1py, pz + 0.5 * k1pz,
+                        dpx + 0.5 * q1px, dpy + 0.5 * q1py, dpz + 0.5 * q1pz,
+                        neg_15_l2,
+                    )
+                    q2dx, q2dy, q2dz = h * j2x, h * j2y, h * j2z
+                    q3px, q3py, q3pz = h * (ddx + 0.5 * q2dx), h * (ddy + 0.5 * q2dy), h * (ddz + 0.5 * q2dz)
+                    j3x, j3y, j3z = _accel_jac(
+                        px + 0.5 * k2px, py + 0.5 * k2py, pz + 0.5 * k2pz,
+                        dpx + 0.5 * q2px, dpy + 0.5 * q2py, dpz + 0.5 * q2pz,
+                        neg_15_l2,
+                    )
+                    q3dx, q3dy, q3dz = h * j3x, h * j3y, h * j3z
+                    q4px, q4py, q4pz = h * (ddx + q3dx), h * (ddy + q3dy), h * (ddz + q3dz)
+                    j4x, j4y, j4z = _accel_jac(
+                        px + k3px, py + k3py, pz + k3pz,
+                        dpx + q3px, dpy + q3py, dpz + q3pz,
+                        neg_15_l2,
+                    )
+                    q4dx, q4dy, q4dz = h * j4x, h * j4y, h * j4z
+                    ndp = (
+                        dpx + (q1px + 2 * q2px + 2 * q3px + q4px) * sixth,
+                        dpy + (q1py + 2 * q2py + 2 * q3py + q4py) * sixth,
+                        dpz + (q1pz + 2 * q2pz + 2 * q3pz + q4pz) * sixth,
+                    )
+                    ndd = (
+                        ddx + (q1dx + 2 * q2dx + 2 * q3dx + q4dx) * sixth,
+                        ddy + (q1dy + 2 * q2dy + 2 * q3dy + q4dy) * sixth,
+                        ddz + (q1dz + 2 * q2dz + 2 * q3dz + q4dz) * sixth,
+                    )
+                    return ndp, ndd
+
+                ndp_dx, ndd_dx = diff_rk4(s[2], s[3])
+                ndp_dy, ndd_dy = diff_rk4(s[4], s[5])
+            else:
+                ndp_dx, ndd_dx = s[2], s[3]
+                ndp_dy, ndd_dy = s[4], s[5]
+
+            nr2 = npx * npx + npy * npy + npz * npz
+            r_new = jnp.sqrt(nr2)
+            affine_new = s[6] + h
+
+            captured_now = active & (r_new < rs)
+            escaped_now = active & (~captured_now) & (
+                (r_new > r_escape) | (affine_new > max_affine)
+            )
+            terminated = captured_now | escaped_now
+            survive = active & (~terminated)
+
+            ex, ey, ez = _normalize3(nvx, nvy, nvz)
+            (oex, oey, oez) = s[10]
+            esc_dir = (
+                jnp.where(escaped_now, ex, oex),
+                jnp.where(escaped_now, ey, oey),
+                jnp.where(escaped_now, ez, oez),
+            )
+
+            hit_count = s[11]
+            hits = s[12]
+            if record_hits:
+                f_old = pz - py * tan_t
+                f_new = npz - npy * tan_t
+                crossing = survive & (f_old * f_new < 0)
+                t_frac = f_old / (f_old - f_new + 1e-8)
+                hx = px + t_frac * (npx - px)
+                hy = py + t_frac * (npy - py)
+                hr2 = hx * hx + hy * hy
+                record = (
+                    crossing
+                    & (hr2 >= r_inner * r_inner)
+                    & (hr2 <= r_outer * r_outer)
+                    & (hit_count < k_slots)
+                )
+
+                (odpx, odpy, odpz) = s[2]
+                (odqx, odqy, odqz) = s[4]
+                hdx = odpx + t_frac * (ndp_dx[0] - odpx)
+                hdy = odpy + t_frac * (ndp_dx[1] - odpy)
+                hdz = odpz + t_frac * (ndp_dx[2] - odpz)
+                hqx = odqx + t_frac * (ndp_dy[0] - odqx)
+                hqy = odqy + t_frac * (ndp_dy[1] - odqy)
+                hqz = odqz + t_frac * (ndp_dy[2] - odqz)
+
+                feats = jnp.stack(
+                    [hx, hy, vx, vy, vz, hdx, hdy, hdz, hqx, hqy, hqz, t_frac],
+                    axis=0,
+                )  # (HIT_FEATURES, BR, BC)
+
+                # Static-slice selects (scatter is not lowerable here;
+                # a lax.cond guard also fails to legalize with this many
+                # vector yields, and the selects are cheap VPU work).
+                slots = []
+                for k in range(k_slots):
+                    mask_k = record & (hit_count == k)
+                    slots.append(jnp.where(mask_k[None], feats, hits[k]))
+                hits = jnp.stack(slots, axis=0)
+                hit_count = hit_count + record.astype(jnp.int32)
+
+            def sel(new, old):
+                return jnp.where(survive, new, old)
+
+            return (
+                (sel(npx, px), sel(npy, py), sel(npz, pz)),
+                (sel(nvx, vx), sel(nvy, vy), sel(nvz, vz)),
+                tuple(sel(n, o) for n, o in zip(ndp_dx, s[2])),
+                tuple(sel(n, o) for n, o in zip(ndd_dx, s[3])),
+                tuple(sel(n, o) for n, o in zip(ndp_dy, s[4])),
+                tuple(sel(n, o) for n, o in zip(ndd_dy, s[5])),
+                jnp.where(survive, affine_new, s[6]),
+                survive.astype(jnp.float32),
+                jnp.maximum(s[8], captured_now.astype(jnp.float32)),
+                jnp.maximum(s[9], escaped_now.astype(jnp.float32)),
+                esc_dir,
+                hit_count,
+                hits,
+                s[13] + 1,
+            )
+
+        final = jax.lax.while_loop(cond, body, state)
+
+        captured_ref[:, :] = final[8]
+        escaped_ref[:, :] = final[9]
+        escdir_ref[0], escdir_ref[1], escdir_ref[2] = final[10]
+        count_ref[:, :] = final[11]
+        hits_ref[:, :, :, :] = final[12]
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32),  # captured
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32),  # escaped
+        jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),  # escape_dir
+        jax.ShapeDtypeStruct((hp, wp), jnp.int32),  # hit_count
+        jax.ShapeDtypeStruct((k_slots, HIT_FEATURES, hp, wp), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((block_rows, block_cols), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, block_cols), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, block_rows, block_cols), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, block_cols), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (k_slots, HIT_FEATURES, block_rows, block_cols),
+            lambda i, j: (0, 0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, CAM_PARAMS), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )
+
+    def run(cam_params: jnp.ndarray):
+        return call(cam_params.reshape(1, CAM_PARAMS).astype(jnp.float32))
+
+    return run, (hp, wp)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "h_base", "r_escape", "rs", "tilt_deg",
+        "r_inner", "r_outer", "with_differentials", "max_crossings",
+        "record_hits", "block_rows", "block_cols", "interpret",
+    ),
+)
+def trace_geodesics_pallas(
+    cam_params: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    h_base: float,
+    r_escape: float,
+    rs: float = RS,
+    tilt_deg: float = 0.0,
+    r_inner: float = 2.0,
+    r_outer: float = 15.0,
+    with_differentials: bool = False,
+    max_crossings: int = MAX_DISK_CROSSINGS,
+    record_hits: bool = True,
+    block_rows: int = BLOCK_ROWS,
+    block_cols: int = BLOCK_COLS,
+    interpret: bool = False,
+) -> TraceResult:
+    """Tiled Pallas trace -> TraceResult with flat (H*W) ray order.
+
+    ``cam_params`` is the (14,) camera vector (see CAM_PARAMS layout).
+    Output matches ops/geodesic.trace_geodesics on the same scene.
+    """
+    run, (hp, wp) = build_ray_march_kernel(
+        width=width, height=height, h_base=h_base, r_escape=r_escape,
+        rs=rs, tilt_deg=tilt_deg, r_inner=r_inner, r_outer=r_outer,
+        with_differentials=with_differentials, max_crossings=max_crossings,
+        record_hits=record_hits, block_rows=block_rows, block_cols=block_cols,
+        interpret=interpret,
+    )
+    captured, escaped, escdir, count, hits = run(cam_params)
+
+    captured = captured[:height, :width]
+    escaped = escaped[:height, :width]
+    escdir = escdir[:, :height, :width]
+    count = count[:height, :width]
+    hits = hits[:, :, :height, :width]
+
+    n = height * width
+    return TraceResult(
+        captured=captured.reshape(n) > 0.5,
+        escaped=escaped.reshape(n) > 0.5,
+        escape_dir=escdir.reshape(3, n).T,
+        hit_count=count.reshape(n),
+        hits=hits.reshape(max_crossings, HIT_FEATURES, n),
+        steps=jnp.zeros((), jnp.int32),
+    )
+
+
+def camera_params(camera: Camera) -> np.ndarray:
+    """Pack a Camera into the (14,) kernel parameter vector."""
+    return np.concatenate(
+        [
+            camera.pos,
+            camera.right,
+            camera.up,
+            camera.forward,
+            np.asarray([camera.pixel_width, camera.pixel_height], np.float32),
+        ]
+    ).astype(np.float32)

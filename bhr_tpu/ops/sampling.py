@@ -48,6 +48,134 @@ def _bilinear_gather(tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.nd
     )
 
 
+def pack_quad(tex: jnp.ndarray) -> jnp.ndarray:
+    """Pack a (H, W, C) texture into (H, W, 4C) 2x2 footprints.
+
+    Channel layout: [c00, c10, c01, c11] = [self, right (u-wrap),
+    down (v-clamp), down-right]. One gather of a quad row then fetches
+    the full bilinear footprint — TPU gathers are fetch-count bound, so
+    this cuts sampling cost ~4x vs 4 corner gathers.
+    """
+    right = jnp.roll(tex, -1, axis=1)  # u wraps
+    down = jnp.concatenate([tex[1:], tex[-1:]], axis=0)  # v clamps
+    down_right = jnp.concatenate([right[1:], right[-1:]], axis=0)
+    return jnp.concatenate([tex, right, down, down_right], axis=-1)
+
+
+def _bilinear_quad_gather(
+    qtex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, channels: int
+) -> jnp.ndarray:
+    """Bilinear lookup from a quad-packed texture (one gather per sample)."""
+    tex_h, tex_w = qtex.shape[0], qtex.shape[1]
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    fu = (u - u0.astype(u.dtype))[..., None]
+    fv = (v - v0.astype(v.dtype))[..., None]
+    q = qtex[jnp.clip(v0, 0, tex_h - 1), jnp.mod(u0, tex_w)]
+    c = channels
+    c00, c10, c01, c11 = q[..., :c], q[..., c : 2 * c], q[..., 2 * c : 3 * c], q[..., 3 * c :]
+    # v-clamp parity with the 4-gather path: above the top row both
+    # sample rows clamp to row 0, i.e. the blend weight must be 0 there
+    # (the packed "down" channel would otherwise leak row 1 in).
+    fv = jnp.where(v0[..., None] < 0, 0.0, jnp.clip(fv, 0.0, 1.0))
+    return (
+        c00 * (1 - fu) * (1 - fv)
+        + c10 * fu * (1 - fv)
+        + c01 * (1 - fu) * fv
+        + c11 * fu * fv
+    )
+
+
+def sample_skybox_quad(qtexture: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
+    """Equirect skybox sample from a quad-packed (H, W, 12) texture."""
+    tex_h, tex_w = qtexture.shape[0], qtexture.shape[1]
+    x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
+    theta = jnp.arccos(jnp.clip(z, -1.0, 1.0))
+    phi = jnp.arctan2(y, x)
+    phi = jnp.where(phi < 0, phi + TWO_PI, phi)
+    u = phi / TWO_PI * tex_w
+    v = theta / jnp.pi * tex_h
+    return _bilinear_quad_gather(qtexture, u, v, 3)
+
+
+def sample_disk_quad(
+    qtex: jnp.ndarray,
+    hit_x: jnp.ndarray,
+    hit_y: jnp.ndarray,
+    r_inner: float,
+    r_outer: float,
+    t_offset: float = 0.0,
+) -> jnp.ndarray:
+    """Disk RGBA sample from a quad-packed (n_r, n_phi, 16) texture."""
+    u, v = _disk_uv(hit_x, hit_y, r_inner, r_outer, t_offset,
+                    qtex.shape[1], qtex.shape[0])
+    return _bilinear_quad_gather(qtex, u, v, 4)
+
+
+def pack_quad_mips(mips: jnp.ndarray, num_levels: int) -> jnp.ndarray:
+    """Quad-pack each level of a padded (L, H, W, C) mip pyramid.
+
+    Each level is packed within its own (H>>l, W>>l) active region so u
+    wraps and v clamps at the level's true bounds.
+    """
+    levels = []
+    base_h, base_w = mips.shape[1], mips.shape[2]
+    for lvl in range(mips.shape[0]):
+        h = max(base_h >> lvl, 1)
+        w = max(base_w >> lvl, 1)
+        active = mips[lvl, :h, :w]
+        packed = pack_quad(active)
+        levels.append(
+            jnp.pad(packed, ((0, base_h - h), (0, base_w - w), (0, 0)))
+        )
+    return jnp.stack(levels, axis=0)
+
+
+def sample_disk_mip_quad(
+    qmips: jnp.ndarray,
+    num_levels: int,
+    hit_x: jnp.ndarray,
+    hit_y: jnp.ndarray,
+    r_inner: float,
+    r_outer: float,
+    t_offset: float,
+    lod: jnp.ndarray,
+    channels: int = 4,
+) -> jnp.ndarray:
+    """Mip-LOD sample from a quad-packed pyramid (one gather per sample)."""
+    base_h, base_w = qmips.shape[1], qmips.shape[2]
+    r = jnp.sqrt(hit_x**2 + hit_y**2)
+    phi = jnp.arctan2(hit_y, hit_x)
+    r_safe = jnp.maximum(r, 1e-3)
+    omega = jnp.sqrt(0.5 / (r_safe**3 + 1e-6))
+    phi = jnp.mod(phi + t_offset * omega, TWO_PI)
+
+    lod_i = jnp.clip(lod, 0.0, num_levels - 1).astype(jnp.int32)
+    scale = jnp.power(2.0, lod_i.astype(jnp.float32))
+    w_lod = base_w / scale
+    h_lod = base_h / scale
+    w_lod_i = (base_w // (2**lod_i)).astype(jnp.int32)
+    h_lod_i = (base_h // (2**lod_i)).astype(jnp.int32)
+
+    u = phi / TWO_PI * w_lod
+    v = (r - r_inner) / (r_outer - r_inner) * h_lod
+
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    fu = (u - u0.astype(u.dtype))[..., None]
+    fv = (v - v0.astype(v.dtype))[..., None]
+    fv = jnp.where(v0[..., None] < 0, 0.0, jnp.clip(fv, 0.0, 1.0))
+    q = qmips[lod_i, jnp.clip(v0, 0, h_lod_i - 1), jnp.mod(u0, w_lod_i)]
+    c = channels
+    c00, c10, c01, c11 = q[..., :c], q[..., c : 2 * c], q[..., 2 * c : 3 * c], q[..., 3 * c :]
+    return (
+        c00 * (1 - fu) * (1 - fv)
+        + c10 * fu * (1 - fv)
+        + c01 * (1 - fu) * fv
+        + c11 * fu * fv
+    )
+
+
 def sample_skybox(texture: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
     """Sample an equirectangular skybox along unit ``directions``.
 

@@ -77,8 +77,10 @@ def build_sharded_frame_renderer(
     has_disk: bool = True,
     use_diff: bool = False,
 ):
-    """Compile a sharded renderer: (skybox, mips, cam_pack, t_offsets) ->
-    (F, H, W, 3) background+disk composite, sharded over the mesh.
+    """Compile a sharded renderer: (skybox_q, disk_qmips, cam_pack,
+    t_offsets) -> (F, H, W, 3) background+disk composite, sharded over
+    the mesh. Textures must be quad-packed (ops.sampling.pack_quad /
+    pack_quad_mips).
 
     F = frames_per_device * mesh.shape["frames"]; H splits over "tile".
     """

@@ -27,14 +27,21 @@ from .constants import DISK_ALPHA_GAIN, DISK_COLOR_TEMPERATURE, MAX_DISK_CROSSIN
 from .ops import geodesic
 from .ops.bloom import apply_bloom
 from .ops.lens_flare import apply_lens_flare
-from .ops.sampling import build_mipmaps, sample_disk, sample_disk_mip, sample_skybox
+from .ops.sampling import (
+    build_mipmaps,
+    pack_quad,
+    pack_quad_mips,
+    sample_disk_mip_quad,
+    sample_disk_quad,
+    sample_skybox_quad,
+)
 from .ops.shading import apply_g_factor
 
 
 def shade_frame(
     trace: geodesic.TraceResult,
-    skybox: jnp.ndarray,
-    disk_mips: Optional[jnp.ndarray],
+    skybox_q: jnp.ndarray,
+    disk_qmips: Optional[jnp.ndarray],
     num_mip_levels: int,
     cam_pos: jnp.ndarray,
     *,
@@ -48,36 +55,43 @@ def shade_frame(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Deferred shading over recorded hits.
 
+    Textures arrive quad-packed (ops.sampling.pack_quad / pack_quad_mips)
+    so each bilinear sample costs ONE gather. Hit slots beyond the
+    frame's max crossing count are skipped via lax.cond (typical frames
+    fill at most 2 of the K slots).
+
     Returns (bg_rgb, disk_rgb, alpha_total), each (N, ...) flattened over
     pixels. Front-to-back alpha compositing over the K hit slots
     reproduces the reference's in-loop accumulation
     (render.py:2992-3018). ``t_offset`` may be a traced scalar.
     """
-    n = trace.hits.shape[0]
-    k_slots = trace.hits.shape[1]
+    k_slots = trace.hits.shape[0]
+    n = trace.hits.shape[2]
     tilt_rad = float(np.deg2rad(tilt_deg))
     tan_t = float(np.tan(tilt_rad))
 
     accum = jnp.zeros((n, 3), trace.hits.dtype)
     alpha_total = jnp.zeros((n,), trace.hits.dtype)
 
-    if disk_mips is not None:
-        dtex_h, dtex_w = disk_mips.shape[1], disk_mips.shape[2]
-        for k in range(k_slots):
-            feat = trace.hits[:, k, :]
+    if disk_qmips is not None:
+        dtex_h, dtex_w = disk_qmips.shape[1], disk_qmips.shape[2]
+        max_hits = jnp.max(trace.hit_count)
+
+        def shade_slot(k, accum, alpha_total):
+            feat = trace.hits[k]  # (HIT_FEATURES, N)
             valid = k < trace.hit_count
-            hit_x, hit_y = feat[:, 0], feat[:, 1]
-            ray_dir = feat[:, 2:5]
+            hit_x, hit_y = feat[0], feat[1]
+            ray_dir = feat[2:5].T
             if use_lod:
                 # Texture-space gradients from the transported ray
                 # differentials -> mip LOD (reference render.py:2961-2990).
-                dpx = feat[:, 5:8]
-                dpy = feat[:, 8:11]
+                dpx = feat[5:8]
+                dpy = feat[8:11]
                 r_cyl = jnp.sqrt(hit_x**2 + hit_y**2 + 1e-6)
-                dr_dx = (hit_x * dpx[:, 0] + hit_y * dpx[:, 1]) / r_cyl
-                dphi_dx = (-hit_y * dpx[:, 0] + hit_x * dpx[:, 1]) / (r_cyl**2 + 1e-6)
-                dr_dy = (hit_x * dpy[:, 0] + hit_y * dpy[:, 1]) / r_cyl
-                dphi_dy = (-hit_y * dpy[:, 0] + hit_x * dpy[:, 1]) / (r_cyl**2 + 1e-6)
+                dr_dx = (hit_x * dpx[0] + hit_y * dpx[1]) / r_cyl
+                dphi_dx = (-hit_y * dpx[0] + hit_x * dpx[1]) / (r_cyl**2 + 1e-6)
+                dr_dy = (hit_x * dpy[0] + hit_y * dpy[1]) / r_cyl
+                dphi_dy = (-hit_y * dpy[0] + hit_x * dpy[1]) / (r_cyl**2 + 1e-6)
                 dudx = dphi_dx * dtex_w / (2.0 * jnp.pi)
                 dvdx = dr_dx * dtex_h / (r_outer - r_inner)
                 dudy = dphi_dy * dtex_w / (2.0 * jnp.pi)
@@ -86,13 +100,13 @@ def shade_frame(
                 lod = jnp.clip(
                     jnp.log2(jnp.maximum(grad_sq, 1.0)) * aa_strength, 0.0, 3.0
                 )
-                rgba = sample_disk_mip(
-                    disk_mips, num_mip_levels, hit_x, hit_y,
+                rgba = sample_disk_mip_quad(
+                    disk_qmips, num_mip_levels, hit_x, hit_y,
                     r_inner, r_outer, t_offset, lod,
                 )
             else:
-                rgba = sample_disk(
-                    disk_mips[0], hit_x, hit_y, r_inner, r_outer, t_offset
+                rgba = sample_disk_quad(
+                    disk_qmips[0], hit_x, hit_y, r_inner, r_outer, t_offset
                 )
 
             hit_r = jnp.sqrt(hit_x**2 + hit_y**2)
@@ -109,9 +123,22 @@ def shade_frame(
             front = 1.0 - alpha_total
             accum = accum + shaded * (disk_alpha * front)[:, None]
             alpha_total = 1.0 - front * (1.0 - disk_alpha)
+            return accum, alpha_total
+
+        for k in range(k_slots):
+            # Skip slots no ray reached this frame — saves the gathers
+            # for the rare ghost-image slots.
+            accum, alpha_total = jax.lax.cond(
+                k < max_hits,
+                lambda acc, al, k=k: shade_slot(k, acc, al),
+                lambda acc, al: (acc, al),
+                accum, alpha_total,
+            )
 
     bg = jnp.where(
-        trace.escaped[:, None], sample_skybox(skybox, trace.escape_dir), 0.0
+        trace.escaped[:, None],
+        sample_skybox_quad(skybox_q, trace.escape_dir),
+        0.0,
     )
     bg = bg * (1.0 - alpha_total)[:, None]
     disk_rgb = jnp.clip(accum, 0.0, 1.0)
@@ -134,15 +161,28 @@ class Renderer:
         skybox: np.ndarray,
         disk_tex: Optional[np.ndarray],
         mip_levels: int = 4,
+        use_pallas: Optional[bool] = None,
     ):
         self.config = config
         self.width, self.height = config.image_size
         self.skybox = jnp.asarray(skybox, dtype=jnp.float32)
+        self.skybox_q = jax.jit(pack_quad)(self.skybox)
         self.mip_levels = mip_levels
         self.num_mip_levels = 1
         self.disk_mips: Optional[jnp.ndarray] = None
+        self.disk_qmips: Optional[jnp.ndarray] = None
+        # Production tracer: Pallas per-tile-early-exit kernel on TPU;
+        # the pure-JAX lock-step loop elsewhere (CPU tests, debugging).
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
         self._frame_fns: Dict[tuple, callable] = {}
-        self._mip_fn = jax.jit(functools.partial(build_mipmaps, levels=mip_levels))
+
+        def _mip_and_pack(tex):
+            mips = build_mipmaps(tex, levels=mip_levels)
+            return mips, pack_quad_mips(mips, mips.shape[0])
+
+        self._mip_fn = jax.jit(_mip_and_pack)
         if disk_tex is not None:
             self.update_disk_texture(disk_tex)
 
@@ -151,12 +191,15 @@ class Renderer:
     def update_disk_texture(self, tex) -> None:
         """Upload a new (n_r, n_phi, 4) texture and rebuild the mip pyramid."""
         tex = jnp.asarray(tex, dtype=jnp.float32)
-        self.disk_mips = self._mip_fn(tex)
+        self.disk_mips, self.disk_qmips = self._mip_fn(tex)
         self.num_mip_levels = int(self.disk_mips.shape[0])
 
     def set_disk_mips(self, mips: jnp.ndarray) -> None:
         """Install an externally built (device) mip pyramid directly."""
         self.disk_mips = mips
+        self.disk_qmips = jax.jit(
+            functools.partial(pack_quad_mips, num_levels=int(mips.shape[0]))
+        )(mips)
         self.num_mip_levels = int(mips.shape[0])
 
     @property
@@ -165,69 +208,93 @@ class Renderer:
 
     # -- rendering ---------------------------------------------------------
 
-    def _build_frame_fn(self, key: tuple):
-        """Compile one whole-frame program for a static mode tuple."""
-        (use_diff, use_bloom, use_flare, r_escape, has_disk) = key
-        cfg = self.config
-        width, height = self.width, self.height
+    # The frame runs as THREE separately jitted stages (trace / shade /
+    # post) rather than one fused program: a single whole-frame jit both
+    # compiled pathologically slowly (>5 min at FHD) and ran ~4x slower
+    # than the staged pipeline (XLA scheduling around the pallas_call),
+    # while the staged stages compile in seconds and pipeline cleanly.
 
-        def frame(skybox, disk_mips, cam_pos, cam_right, cam_up, cam_fwd,
-                  pw, ph, t_offset):
-            dirs, ddx, ddy = geodesic.primary_rays_from_arrays(
-                cam_pos, cam_right, cam_up, cam_fwd, pw, ph, width, height
-            )
-            trace = geodesic.trace_geodesics(
-                cam_pos,
-                dirs,
-                h_base=float(cfg.step_size),
-                r_escape=float(r_escape),
-                tilt_deg=float(cfg.disk_tilt),
-                r_inner=float(cfg.disk_inner_radius),
-                r_outer=float(cfg.disk_outer_radius),
-                with_differentials=use_diff,
-                d_dir_dx0=ddx,
-                d_dir_dy0=ddy,
-                max_crossings=MAX_DISK_CROSSINGS,
-                record_hits=has_disk,
-            )
-            bg, disk_rgb, _ = shade_frame(
-                trace,
-                skybox,
-                disk_mips if has_disk else None,
-                self.num_mip_levels,
-                cam_pos,
-                r_inner=float(cfg.disk_inner_radius),
-                r_outer=float(cfg.disk_outer_radius),
-                tilt_deg=float(cfg.disk_tilt),
-                t_offset=t_offset,
-                use_lod=use_diff,
-                aa_strength=float(cfg.aa_strength),
-            )
-            shape = (height, width, 3)
-            bg_img = bg.reshape(shape)
-            disk_img = disk_rgb.reshape(shape)
-            if use_bloom:
-                # The reference's PNG path composites the raw blur field
-                # (render.py:3916-3918); see ops/bloom.py docstring.
-                blur = apply_bloom(disk_img, width_ref=width)
-                final = jnp.clip(bg_img + disk_img + blur, 0.0, 1.0)
-            else:
-                final = jnp.clip(bg_img + disk_img, 0.0, 1.0)
-            if use_flare:
-                final = apply_lens_flare(final, disk_img)
-            return final, bg_img, disk_img
-
-        return jax.jit(frame)
-
-    def _frame_fn(self, use_diff: bool, use_bloom: bool, use_flare: bool,
-                  r_escape: float):
-        key = (use_diff, use_bloom, use_flare, round(r_escape, 6),
-               self.disk_mips is not None)
+    def _shade_fn(self, use_diff: bool):
+        key = ("shade", use_diff, self.num_mip_levels)
         fn = self._frame_fns.get(key)
         if fn is None:
-            fn = self._build_frame_fn(key)
+            cfg = self.config
+
+            def shade(trace, skybox_q, disk_qmips, cam_pos, t_offset):
+                return shade_frame(
+                    trace, skybox_q, disk_qmips, self.num_mip_levels, cam_pos,
+                    r_inner=float(cfg.disk_inner_radius),
+                    r_outer=float(cfg.disk_outer_radius),
+                    tilt_deg=float(cfg.disk_tilt),
+                    t_offset=t_offset,
+                    use_lod=use_diff,
+                    aa_strength=float(cfg.aa_strength),
+                )
+
+            def shade_nodisk(trace, skybox_q, disk_qmips, cam_pos, t_offset):
+                return shade_frame(
+                    trace, skybox_q, None, 1, cam_pos,
+                    r_inner=float(cfg.disk_inner_radius),
+                    r_outer=float(cfg.disk_outer_radius),
+                    tilt_deg=float(cfg.disk_tilt),
+                    t_offset=t_offset,
+                    use_lod=use_diff,
+                    aa_strength=float(cfg.aa_strength),
+                )
+
+            fn = jax.jit(shade if self.disk_qmips is not None else shade_nodisk)
             self._frame_fns[key] = fn
         return fn
+
+    def _post_fn(self, use_bloom: bool, use_flare: bool):
+        key = ("post", use_bloom, use_flare)
+        fn = self._frame_fns.get(key)
+        if fn is None:
+            width, height = self.width, self.height
+
+            def post(bg, disk_rgb):
+                shape = (height, width, 3)
+                bg_img = bg.reshape(shape)
+                disk_img = disk_rgb.reshape(shape)
+                if use_bloom:
+                    # The reference's PNG path composites the raw blur
+                    # field (render.py:3916-3918); see ops/bloom.py.
+                    blur = apply_bloom(disk_img, width_ref=width)
+                    final = jnp.clip(bg_img + disk_img + blur, 0.0, 1.0)
+                else:
+                    final = jnp.clip(bg_img + disk_img, 0.0, 1.0)
+                if use_flare:
+                    final = apply_lens_flare(final, disk_img)
+                return final, bg_img, disk_img
+
+            fn = jax.jit(post)
+            self._frame_fns[key] = fn
+        return fn
+
+    def _trace(self, camera: Camera, r_escape: float, use_diff: bool):
+        has_disk = self.disk_qmips is not None
+        trace_kwargs = dict(
+            h_base=float(self.config.step_size),
+            r_escape=float(r_escape),
+            tilt_deg=float(self.config.disk_tilt),
+            r_inner=float(self.config.disk_inner_radius),
+            r_outer=float(self.config.disk_outer_radius),
+            with_differentials=use_diff,
+            max_crossings=MAX_DISK_CROSSINGS,
+            record_hits=has_disk,
+        )
+        if self.use_pallas:
+            from .ops.geodesic_pallas import camera_params, trace_geodesics_pallas
+
+            return trace_geodesics_pallas(
+                jnp.asarray(camera_params(camera)),
+                width=self.width, height=self.height, **trace_kwargs,
+            )
+        dirs, ddx, ddy = geodesic.primary_rays(camera)
+        return geodesic.trace_geodesics(
+            jnp.asarray(camera.pos), dirs, d_dir_dx0=ddx, d_dir_dy0=ddy,
+            **trace_kwargs,
+        )
 
     def _run_frame(self, cam_pos, fov, frame, skip_differentials, skip_bloom,
                    use_flare):
@@ -237,22 +304,15 @@ class Renderer:
         use_diff = (
             self.config.anti_alias != "disabled" and not skip_differentials
         )
-        fn = self._frame_fn(use_diff, not skip_bloom, use_flare, r_escape)
+        trace = self._trace(camera, r_escape, use_diff)
         t_offset = jnp.float32(frame * self.config.disk_rotation_speed)
-        mips = self.disk_mips
+        mips = self.disk_qmips
         if mips is None:  # placeholder so the arg structure is stable
-            mips = jnp.zeros((1, 1, 1, 4), jnp.float32)
-        return fn(
-            self.skybox,
-            mips,
-            jnp.asarray(camera.pos),
-            jnp.asarray(camera.right),
-            jnp.asarray(camera.up),
-            jnp.asarray(camera.forward),
-            jnp.float32(camera.pixel_width),
-            jnp.float32(camera.pixel_height),
-            t_offset,
+            mips = jnp.zeros((1, 1, 1, 16), jnp.float32)
+        bg, disk_rgb, _ = self._shade_fn(use_diff)(
+            trace, self.skybox_q, mips, jnp.asarray(camera.pos), t_offset
         )
+        return self._post_fn(not skip_bloom, use_flare)(bg, disk_rgb)
 
     def render_layers(
         self,

@@ -80,11 +80,11 @@ def test_disk_plane_crossing_recorded():
         r_outer=4.0,
     )
     assert int(res.hit_count[0]) >= 1
-    hx, hy = float(res.hits[0, 0, 0]), float(res.hits[0, 0, 1])
+    hx, hy = float(res.hits[0, 0, 0]), float(res.hits[0, 1, 0])
     hr = np.hypot(hx, hy)
     assert 2.0 <= hr <= 4.0
     # t_frac within the step
-    assert 0.0 <= float(res.hits[0, 0, 11]) <= 1.0
+    assert 0.0 <= float(res.hits[0, 11, 0]) <= 1.0
 
 
 def test_hits_outside_radius_not_recorded():
@@ -116,7 +116,7 @@ def test_tilted_plane_crossing():
         r_outer=5.0,
     )
     assert int(res.hit_count[0]) >= 1
-    hy = float(res.hits[0, 0, 1])
+    hy = float(res.hits[0, 1, 0])
     # hit z is defined as y*tan(tilt); y should be near 3 (weak bending)
     assert abs(hy - 3.0) < 0.3
 

@@ -123,3 +123,47 @@ def test_mip_sampling_levels():
     # Level 0 keeps contrast (value depends on the row hit, but must be
     # near 0, 0.5, or 1 depending on v-frac; just check they differ).
     assert not np.allclose(lod0, lod1, atol=1e-3) or True
+
+
+def test_quad_pack_matches_four_gather():
+    """Quad-packed single-gather bilinear == classic 4-gather bilinear."""
+    from bhr_tpu.ops.sampling import (
+        _bilinear_quad_gather,
+        pack_quad,
+        pack_quad_mips,
+        sample_disk_mip_quad,
+        sample_disk_quad,
+        sample_skybox_quad,
+    )
+
+    rng = np.random.default_rng(3)
+    tex = rng.random((16, 32, 3)).astype(np.float32)
+    q = pack_quad(jnp.asarray(tex))
+    u = rng.uniform(-5, 40, 300).astype(np.float32)
+    v = rng.uniform(-3, 20, 300).astype(np.float32)
+    got = np.asarray(_bilinear_quad_gather(q, jnp.asarray(u), jnp.asarray(v), 3))
+    want = np.asarray(
+        _bilinear_gather(jnp.asarray(tex), jnp.asarray(u), jnp.asarray(v))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # skybox quad vs classic
+    dirs = rng.normal(size=(200, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    a = np.asarray(sample_skybox_quad(q, jnp.asarray(dirs)))
+    b = np.asarray(sample_skybox(jnp.asarray(tex), jnp.asarray(dirs)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # disk quad vs classic + mip quad vs classic
+    dtex = rng.random((16, 64, 4)).astype(np.float32)
+    mips = build_mipmaps(jnp.asarray(dtex), levels=2)
+    qmips = pack_quad_mips(mips, 3)
+    hx = rng.uniform(-4, 4, 200).astype(np.float32)
+    hy = rng.uniform(-4, 4, 200).astype(np.float32)
+    a = np.asarray(sample_disk_quad(qmips[0][..., :16], jnp.asarray(hx), jnp.asarray(hy), 2.0, 4.0, 0.3))
+    b = np.asarray(sample_disk(jnp.asarray(dtex), jnp.asarray(hx), jnp.asarray(hy), 2.0, 4.0, 0.3))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    lod = jnp.asarray(rng.uniform(0, 2.4, 200).astype(np.float32))
+    a = np.asarray(sample_disk_mip_quad(qmips, 3, jnp.asarray(hx), jnp.asarray(hy), 2.0, 4.0, 0.3, lod))
+    b = np.asarray(sample_disk_mip(mips, 3, jnp.asarray(hx), jnp.asarray(hy), 2.0, 4.0, 0.3, lod))
+    np.testing.assert_allclose(a, b, atol=1e-5)

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from bhr_tpu.config import SceneConfig
-from bhr_tpu.ops.sampling import build_mipmaps
+from bhr_tpu.ops.sampling import build_mipmaps, pack_quad, pack_quad_mips
 from bhr_tpu.parallel.frames import (
     build_sharded_frame_renderer,
     cameras_for_orbit,
@@ -24,12 +24,12 @@ def tiny_scene():
         disk_inner_radius=2.0, disk_outer_radius=3.5, disk_tilt=15.0,
         orbit=True, n_frames=8,
     ).validated()
-    skybox = jnp.asarray(
+    skybox = pack_quad(jnp.asarray(
         np.random.default_rng(0).random((32, 64, 3)).astype(np.float32)
-    )
+    ))
     tex = np.random.default_rng(1).random((16, 64, 4)).astype(np.float32)
     tex[..., 3] *= compute_edge_alpha(16)[:, None]
-    mips = build_mipmaps(jnp.asarray(tex), levels=2)
+    mips = pack_quad_mips(build_mipmaps(jnp.asarray(tex), levels=2), 3)
     return config, skybox, mips
 
 
