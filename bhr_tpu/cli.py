@@ -1,0 +1,146 @@
+"""Command-line interface, mirroring the reference CLI surface.
+
+Parity target: reference `parse_args`/`validate_args`/`__main__`
+(/root/reference/render.py:4518-4695) — same flags (including accepted
+deprecated ones), same defaults, same resolution presets.
+
+Usage:
+    python -m bhr_tpu.cli --pov 6 0 0.5 --fov 90 -r fhd -o out/frame.png
+    python -m bhr_tpu.cli --video --orbit --n_frames 3600 --resume
+    python -m bhr_tpu.cli --interactive
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import RESOLUTIONS, SceneConfig
+from .constants import (
+    DISK_GENERATION_SCALE_CHOICES,
+    R_DISK_INNER_DEFAULT,
+    R_DISK_OUTER_DEFAULT,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native Schwarzschild black-hole ray-tracing renderer"
+    )
+    p.add_argument("--pov", type=float, nargs=3, default=[6.0, 0.0, 0.5],
+                   metavar=("X", "Y", "Z"), help="camera position")
+    p.add_argument("--fov", type=float, default=90.0,
+                   help="field of view in degrees (0-180)")
+    p.add_argument("--resolution", "-r", type=str, default="fhd",
+                   choices=sorted(RESOLUTIONS), help="resolution preset")
+    p.add_argument("--texture", "-t", type=str, default=None,
+                   help="skybox texture path (default: procedural)")
+    p.add_argument("--output", "-o", type=str, default="output/blackhole.png",
+                   help="output path")
+    p.add_argument("--step_size", "-s", type=float, default=0.1,
+                   help="integration base step")
+    p.add_argument("--r_max", type=float, default=10.0, help="escape radius")
+    p.add_argument("--n_stars", type=int, default=6000,
+                   help="procedural skybox star count")
+    p.add_argument("--disk_texture", type=str, default=None,
+                   help="external disk texture (static single-frame only)")
+    p.add_argument("--disk_generation_scale", type=int, default=2,
+                   choices=DISK_GENERATION_SCALE_CHOICES,
+                   help="[deprecated] unused by the lifecycle system")
+    p.add_argument("--force_regenerate_disk_texture", action="store_true",
+                   help="[deprecated] lifecycle regenerates every frame")
+    p.add_argument("--disk_inner_radius", "--ar1", dest="disk_inner_radius",
+                   type=float, default=R_DISK_INNER_DEFAULT)
+    p.add_argument("--disk_outer_radius", "--ar2", dest="disk_outer_radius",
+                   type=float, default=R_DISK_OUTER_DEFAULT)
+    p.add_argument("--disk_tilt", type=float, default=0.0,
+                   help="disk tilt in degrees")
+    p.add_argument("--lens_flare", action="store_true")
+    p.add_argument("--anti_alias", type=str, default="disabled",
+                   choices=["disabled", "lod_radius"])
+    p.add_argument("--aa_strength", type=float, default=1.0,
+                   help="AA LOD multiplier in [0.5, 2.0]")
+    p.add_argument("--device", "-d", type=str, default="auto",
+                   choices=["auto", "tpu", "cpu"],
+                   help="compute platform")
+    p.add_argument("--video", action="store_true")
+    p.add_argument("--interactive", action="store_true")
+    p.add_argument("--orbit", action="store_true")
+    p.add_argument("--orbit_degrees", type=float, default=360.0,
+                   help="total orbit sweep (negative = reverse)")
+    p.add_argument("--n_frames", type=int, default=3600)
+    p.add_argument("--fps", type=int, default=36)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--disk_rotation_algorithm", type=str, default="baseline",
+                   choices=["baseline", "parametric", "keyframes"],
+                   help="[deprecated] lifecycle system is always used")
+    p.add_argument("--disk_rotation_speed", type=float, default=0.1)
+    p.add_argument("--keyframes_count", type=int, default=10,
+                   help="[deprecated]")
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> SceneConfig:
+    return SceneConfig(
+        pov=tuple(args.pov),
+        fov=args.fov,
+        resolution=args.resolution,
+        texture=args.texture,
+        output=args.output,
+        step_size=args.step_size,
+        r_max=args.r_max,
+        n_stars=args.n_stars,
+        disk_texture=args.disk_texture,
+        disk_inner_radius=args.disk_inner_radius,
+        disk_outer_radius=args.disk_outer_radius,
+        disk_tilt=args.disk_tilt,
+        lens_flare=args.lens_flare,
+        anti_alias=args.anti_alias,
+        aa_strength=args.aa_strength,
+        device=args.device,
+        video=args.video,
+        interactive=args.interactive,
+        orbit=args.orbit,
+        orbit_degrees=args.orbit_degrees,
+        n_frames=args.n_frames,
+        fps=args.fps,
+        resume=args.resume,
+        disk_rotation_speed=args.disk_rotation_speed,
+        seed=args.seed,
+        disk_generation_scale=args.disk_generation_scale,
+        disk_rotation_algorithm=args.disk_rotation_algorithm,
+        keyframes_count=args.keyframes_count,
+        force_regenerate_disk_texture=args.force_regenerate_disk_texture,
+    ).validated()
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    config = config_from_args(args)
+
+    if config.device != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", config.device)
+
+    if config.interactive:
+        from .interactive import run_interactive
+
+        run_interactive(config)
+    elif config.video:
+        from .modes import render_video
+
+        render_video(config)
+    else:
+        from .modes import render_image
+        from .utils.io import save_image
+
+        img = render_image(config)
+        save_image(img, config.output)
+        print(f"Saved: {config.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

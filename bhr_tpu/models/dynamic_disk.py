@@ -1,0 +1,224 @@
+"""Dynamic disk: background noise + entity lifecycle -> per-frame texture.
+
+Orchestrates the two-layer dynamic texture system of the reference
+(`_init_lifecycle_system` / `_advance_lifecycle_frame`,
+/root/reference/render.py:4079-4153): a time-evolving noise background
+(comp slices 0-4, 11, 12) plus the entity lifecycle layer (slices 5-10),
+composed through the 13-component contract with periodically-recomputed
+normalization stats.
+
+The whole per-frame device path (background noise + entity evaluation +
+compose) is one jitted program; only factory bookkeeping and parameter
+packing stay on host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import DISK_COLOR_TEMPERATURE
+from ..ops.background import generate_background_components
+from ..utils.io import compute_edge_alpha
+from .disk_texture import compose_from_components, keplerian_omega
+from .lifecycle import (
+    MAX_HOTSPOTS,
+    MAX_RT_SPIKES,
+    accumulate_entity_layer,
+    make_factories,
+    pack_filaments,
+    pack_timer_entities,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("n_r", "n_phi", "enable_rt"))
+def _dynamic_step(
+    fil_params, hs_params, rt_params, omega_rows, edge,
+    density_p98, struct_scale, row_stats,
+    az_freq, az_shear, r_inner, r_outer, t,
+    n_r: int, n_phi: int, enable_rt: bool, color_temp,
+):
+    """Full device step: comp field + composed RGBA texture at time t."""
+    bg = generate_background_components(
+        n_r, n_phi, az_freq, az_shear, r_inner, r_outer, t
+    )
+    staging = accumulate_entity_layer(
+        fil_params, hs_params, rt_params, omega_rows, n_r, n_phi
+    )
+    comp = jnp.concatenate(
+        [bg[0:5], staging, bg[5:7]], axis=0
+    )  # [tb, sp, sp_t, turb, turb_t, fil_d, fil_t, rt_d, rt_t, hs_d, hs_t, az, dm]
+    tex = compose_from_components(
+        comp, omega_rows, edge, density_p98, struct_scale, row_stats,
+        jnp.float32(0.0), enable_rt, color_temp,
+    )
+    return comp, tex
+
+
+@jax.jit
+def _recompute_stats(comp, edge):
+    """Normalization stats from the live comp field, with temp-base
+    floors so sparse entity rows don't over-clamp the background
+    (reference recompute_interactive_stats, render.py:3655-3712)."""
+    density = (
+        0.15 + 0.10 * comp[1] + 0.30 * comp[3] + 0.20 * comp[9]
+        + 0.30 * comp[5] + 0.20 * comp[7]
+    ) * comp[12] * edge[:, None]
+    density_p98 = jnp.maximum(jnp.percentile(density, 98.0), 0.01)
+
+    temp_struct = (comp[2] + comp[4] + comp[6] + comp[8] + comp[10]) * comp[12]
+    pos = temp_struct > 0
+    struct_scale = jnp.where(
+        jnp.any(pos),
+        jnp.nanpercentile(jnp.where(pos, temp_struct, jnp.nan), 95.0),
+        1.0,
+    )
+    struct_scale = jnp.maximum(struct_scale, 0.01)
+
+    ts_scaled = jnp.clip(temp_struct / (struct_scale + 1e-6) * 0.8, 0.0, 1.2)
+    struct_max = jnp.max(ts_scaled, axis=1)
+    struct_p70 = jnp.quantile(ts_scaled, 0.7, axis=1)
+
+    tb_max = jnp.max(comp[0], axis=1)
+    struct_max = jnp.maximum(struct_max, tb_max)
+    struct_p70 = jnp.maximum(struct_p70, tb_max * 0.8)
+    return density_p98, struct_scale, jnp.stack([struct_max, struct_p70], axis=1)
+
+
+# Solo-component debug pairs (density slice <-> its temperature slice),
+# reference compose_interactive_texture (render.py:3728-3753).
+_SOLO_PAIRS = {
+    0: [], 1: [2], 2: [1], 3: [4], 4: [3], 5: [6], 6: [5],
+    7: [8], 8: [7], 9: [10], 10: [9], 11: [], 12: [],
+}
+
+
+class DynamicDiskSystem:
+    """Per-frame dynamic texture generator (lifecycle + background).
+
+    Usage:
+        dyn = DynamicDiskSystem(n_r, n_phi, r_inner, r_outer, seed=42)
+        tex = dyn.advance(t=0.0, dt=0.0, recompute_stats=True)
+        ... each frame:
+        tex = dyn.advance(t, dt, recompute_stats=(frame % 60 == 0))
+    """
+
+    def __init__(
+        self,
+        n_r: int,
+        n_phi: int,
+        r_inner: float,
+        r_outer: float,
+        seed: int = 42,
+        enable_rt: bool = True,
+        color_temp: Optional[float] = None,
+    ):
+        self.n_r = n_r
+        self.n_phi = n_phi
+        self.r_inner = float(r_inner)
+        self.r_outer = float(r_outer)
+        self.enable_rt = enable_rt
+        self.color_temp = float(
+            DISK_COLOR_TEMPERATURE if color_temp is None else color_temp
+        )
+
+        rng = np.random.default_rng(seed)
+        self.az_freq = float(rng.integers(2, 5))
+        self.az_shear = float(rng.uniform(2.0, 4.0))
+
+        self.factories: Dict = make_factories(n_r, n_phi, r_inner, r_outer, seed)
+        for f in self.factories.values():
+            f.seed_initial(now=0.0)
+
+        r_norm = np.linspace(0.0, 1.0, n_r)
+        r_vals = r_inner + (r_outer - r_inner) * r_norm
+        self.omega_rows = jnp.asarray(keplerian_omega(jnp.asarray(r_vals)))
+        self.edge = jnp.asarray(compute_edge_alpha(n_r))
+
+        # Initial permissive stats (reference init_background_layer,
+        # render.py:3532-3542) — replaced by the first recompute.
+        tb_init = np.clip(1.0 - r_norm, 0.0, 1.0) ** 1.3 * 0.25
+        self.density_p98 = jnp.float32(0.5)
+        self.struct_scale = jnp.float32(0.5)
+        self.row_stats = jnp.asarray(
+            np.stack(
+                [np.maximum(tb_init, 0.25), np.maximum(tb_init * 0.8, 0.10)],
+                axis=1,
+            ).astype(np.float32)
+        )
+        self.comp: Optional[jnp.ndarray] = None
+
+    @property
+    def entity_count(self) -> int:
+        return sum(len(f.entities) for f in self.factories.values())
+
+    def _pack(self, now: float):
+        fil = jnp.asarray(pack_filaments(self.factories["filament"], now))
+        hs = jnp.asarray(
+            pack_timer_entities(self.factories["hotspot"], now, MAX_HOTSPOTS, 0.0)
+        )
+        rt = jnp.asarray(
+            pack_timer_entities(self.factories["rt_spike"], now, MAX_RT_SPIKES, 1.0)
+        )
+        return fil, hs, rt
+
+    def advance(
+        self,
+        t: float,
+        dt: float,
+        recompute_stats: bool = False,
+        solo_idx: int = -1,
+    ) -> jnp.ndarray:
+        """Tick factories, regenerate the comp field, compose the texture.
+
+        Returns the (n_r, n_phi, 4) RGBA texture for time ``t``.
+        """
+        for f in self.factories.values():
+            f.tick(now=t, dt=dt)
+        fil, hs, rt = self._pack(t)
+
+        comp, tex = _dynamic_step(
+            fil, hs, rt, self.omega_rows, self.edge,
+            self.density_p98, self.struct_scale, self.row_stats,
+            jnp.float32(self.az_freq), jnp.float32(self.az_shear),
+            jnp.float32(self.r_inner), jnp.float32(self.r_outer),
+            jnp.float32(t),
+            self.n_r, self.n_phi, self.enable_rt,
+            jnp.float32(self.color_temp),
+        )
+        self.comp = comp
+
+        if solo_idx >= 0:
+            comp = self._solo_comp(comp, solo_idx)
+            p98, scale, row_stats = _recompute_stats(comp, self.edge)
+            tex = compose_from_components(
+                comp, self.omega_rows, self.edge, p98, scale, row_stats,
+                jnp.float32(0.0), self.enable_rt, jnp.float32(self.color_temp),
+            )
+        elif recompute_stats:
+            self.density_p98, self.struct_scale, self.row_stats = (
+                _recompute_stats(comp, self.edge)
+            )
+            tex = compose_from_components(
+                comp, self.omega_rows, self.edge, self.density_p98,
+                self.struct_scale, self.row_stats, jnp.float32(0.0),
+                self.enable_rt, jnp.float32(self.color_temp),
+            )
+        return tex
+
+    def _solo_comp(self, comp: jnp.ndarray, solo_idx: int) -> jnp.ndarray:
+        """Zero all components except the soloed density/temp pair;
+        disturb_mod becomes the neutral multiplier 1."""
+        keep = {solo_idx} | set(_SOLO_PAIRS.get(solo_idx, []))
+        for i in range(13):
+            if i in keep:
+                continue
+            if i == 12:
+                comp = comp.at[12].set(jnp.ones_like(comp[12]))
+            else:
+                comp = comp.at[i].set(jnp.zeros_like(comp[i]))
+        return comp

@@ -1,0 +1,236 @@
+"""Procedural noise primitives (pure JAX, jax.random-keyed).
+
+One implementation replaces BOTH of the reference's duplicated noise
+stacks: the host NumPy generators (render.py:1026-1091) and the Taichi
+device simplex/FBM (render.py:2639-2785). RNG uses jax.random keys —
+determinism-by-seed is preserved, but streams differ from NumPy, so
+parity with the reference is statistical, not bitwise (SURVEY.md §7
+"RNG parity").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Ken Perlin's standard 256-entry permutation (public domain), doubled to
+# avoid index wrapping — same table the reference uploads to its device
+# field (render.py:2269-2288).
+_PERM_256 = (
+    151, 160, 137, 91, 90, 15, 131, 13, 201, 95, 96, 53, 194, 233, 7, 225,
+    140, 36, 103, 30, 69, 142, 8, 99, 37, 240, 21, 10, 23, 190, 6, 148,
+    247, 120, 234, 75, 0, 26, 197, 62, 94, 252, 219, 203, 117, 35, 11, 32,
+    57, 177, 33, 88, 237, 149, 56, 87, 174, 20, 125, 136, 171, 168, 68, 175,
+    74, 165, 71, 134, 139, 48, 27, 166, 77, 146, 158, 231, 83, 111, 229, 122,
+    60, 211, 133, 230, 220, 105, 92, 41, 55, 46, 245, 40, 244, 102, 143, 54,
+    65, 25, 63, 161, 1, 216, 80, 73, 209, 76, 132, 187, 208, 89, 18, 169,
+    200, 196, 135, 130, 116, 188, 159, 86, 164, 100, 109, 198, 173, 186, 3, 64,
+    52, 217, 226, 250, 124, 123, 5, 202, 38, 147, 118, 126, 255, 82, 85, 212,
+    207, 206, 59, 227, 47, 16, 58, 17, 182, 189, 28, 42, 223, 183, 170, 213,
+    119, 248, 152, 2, 44, 154, 163, 70, 221, 153, 101, 155, 167, 43, 172, 9,
+    129, 22, 39, 253, 19, 98, 108, 110, 79, 113, 224, 232, 178, 185, 112, 104,
+    218, 246, 97, 228, 251, 34, 242, 193, 238, 210, 144, 12, 191, 179, 162, 241,
+    81, 51, 145, 235, 249, 14, 239, 107, 49, 192, 214, 31, 181, 199, 106, 157,
+    184, 84, 204, 176, 115, 121, 50, 45, 127, 4, 150, 254, 138, 236, 205, 93,
+    222, 114, 67, 29, 24, 72, 243, 141, 128, 195, 78, 66, 215, 61, 156, 180,
+)
+
+PERM = jnp.asarray(_PERM_256 + _PERM_256, dtype=jnp.int32)
+
+
+def _grad3_dot(h, x, y, z):
+    """Dot of one of 12 edge-gradient directions (selected by hash) with
+    the offset vector — vectorized (branchless) form of the classic
+    gradient table."""
+    h = jnp.mod(h, 12)
+    u = jnp.where(h < 8, x, y)
+    v = jnp.where(h < 4, y, jnp.where((h == 12) | (h == 14), x, z))
+    r1 = jnp.where(h & 1 == 0, u, -u)
+    r2 = jnp.where(h & 2 == 0, v, -v)
+    return r1 + r2
+
+
+def simplex_noise_3d(x, y, z):
+    """Gustavson 3D simplex noise, fully vectorized. Output ~[-1, 1]."""
+    f3 = 1.0 / 3.0
+    g3 = 1.0 / 6.0
+
+    s = (x + y + z) * f3
+    i = jnp.floor(x + s).astype(jnp.int32)
+    j = jnp.floor(y + s).astype(jnp.int32)
+    k = jnp.floor(z + s).astype(jnp.int32)
+
+    t = (i + j + k).astype(x.dtype) * g3
+    x0 = x - (i.astype(x.dtype) - t)
+    y0 = y - (j.astype(x.dtype) - t)
+    z0 = z - (k.astype(x.dtype) - t)
+
+    # Simplex corner offsets: branchless 6-case ordering table for the
+    # components of (x0, y0, z0) (the branch tree in Gustavson's
+    # algorithm, cf. reference render.py:2697-2712).
+    x_ge_y = x0 >= y0
+    y_ge_z = y0 >= z0
+    x_ge_z = x0 >= z0
+
+    c_xyz = x_ge_y & y_ge_z                      # x>=y>=z
+    c_xzy = x_ge_y & ~y_ge_z & x_ge_z            # x>=z>y
+    c_zxy = x_ge_y & ~y_ge_z & ~x_ge_z           # z>x>=y
+    c_zyx = ~x_ge_y & ~y_ge_z                    # z>y>x
+    c_yzx = ~x_ge_y & y_ge_z & ~x_ge_z           # y>=z>x
+    c_yxz = ~x_ge_y & y_ge_z & x_ge_z            # y>x>=z
+
+    def pick(a, b, c, d, e, f):
+        return (
+            jnp.where(c_xyz, a, 0) + jnp.where(c_xzy, b, 0)
+            + jnp.where(c_zxy, c, 0) + jnp.where(c_zyx, d, 0)
+            + jnp.where(c_yzx, e, 0) + jnp.where(c_yxz, f, 0)
+        ).astype(jnp.int32)
+
+    i1 = pick(1, 1, 0, 0, 0, 0)
+    j1 = pick(0, 0, 0, 0, 1, 1)
+    k1 = pick(0, 0, 1, 1, 0, 0)
+    i2 = pick(1, 1, 1, 0, 0, 1)
+    j2 = pick(1, 0, 0, 1, 1, 1)
+    k2 = pick(0, 1, 1, 1, 1, 0)
+
+    x1 = x0 - i1 + g3
+    y1 = y0 - j1 + g3
+    z1 = z0 - k1 + g3
+    x2 = x0 - i2 + 2.0 * g3
+    y2 = y0 - j2 + 2.0 * g3
+    z2 = z0 - k2 + 2.0 * g3
+    x3 = x0 - 1.0 + 3.0 * g3
+    y3 = y0 - 1.0 + 3.0 * g3
+    z3 = z0 - 1.0 + 3.0 * g3
+
+    ii = i & 255
+    jj = j & 255
+    kk = k & 255
+    gi0 = PERM[ii + PERM[jj + PERM[kk]]]
+    gi1 = PERM[ii + i1 + PERM[jj + j1 + PERM[kk + k1]]]
+    gi2 = PERM[ii + i2 + PERM[jj + j2 + PERM[kk + k2]]]
+    gi3 = PERM[ii + 1 + PERM[jj + 1 + PERM[kk + 1]]]
+
+    def corner(t, gi, cx, cy, cz):
+        t = jnp.maximum(t, 0.0)
+        t2 = t * t
+        return t2 * t2 * _grad3_dot(gi, cx, cy, cz)
+
+    n0 = corner(0.6 - x0 * x0 - y0 * y0 - z0 * z0, gi0, x0, y0, z0)
+    n1 = corner(0.6 - x1 * x1 - y1 * y1 - z1 * z1, gi1, x1, y1, z1)
+    n2 = corner(0.6 - x2 * x2 - y2 * y2 - z2 * z2, gi2, x2, y2, z2)
+    n3 = corner(0.6 - x3 * x3 - y3 * y3 - z3 * z3, gi3, x3, y3, z3)
+    return 32.0 * (n0 + n1 + n2 + n3)
+
+
+def fbm_3d(x, y, z, octaves: int = 4, persistence: float = 0.5,
+           lacunarity: float = 2.0):
+    """Fractal Brownian motion over 3D simplex noise (unrolled octaves)."""
+    value = 0.0
+    amplitude = 1.0
+    freq = 1.0
+    for _ in range(octaves):
+        value = value + amplitude * simplex_noise_3d(x * freq, y * freq, z * freq)
+        amplitude *= persistence
+        freq *= lacunarity
+    return value
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "max_arcs"))
+def tileable_noise(key, shape: Tuple[int, int], max_arcs: int = 60) -> jnp.ndarray:
+    """Cloudy arc noise, seamless in the phi (second) axis.
+
+    30-60 soft arcs: von-Mises-like azimuthal profile
+    exp(kappa (cos(phi - phi_0) - 1)) x radial Gaussian, summed and
+    clipped to [0, 1]. Parity: reference `_tileable_noise`
+    (render.py:1026-1054); vectorized over a padded max_arcs batch with
+    zero-intensity padding instead of a Python loop.
+    """
+    h, w = shape
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    n_arcs = jax.random.randint(k1, (), 30, 60)
+    arc_phi = jax.random.uniform(k2, (max_arcs,), maxval=2.0 * jnp.pi)
+    arc_r = jnp.sqrt(jax.random.uniform(k3, (max_arcs,)))
+    arc_phi_width = jax.random.uniform(k4, (max_arcs,), minval=0.15, maxval=0.5)
+    arc_r_width = jax.random.uniform(k5, (max_arcs,), minval=0.03, maxval=0.08)
+    arc_intensity = jax.random.uniform(k6, (max_arcs,), minval=0.03, maxval=0.12)
+    arc_intensity = jnp.where(jnp.arange(max_arcs) < n_arcs, arc_intensity, 0.0)
+
+    phi = jnp.linspace(0.0, 2.0 * jnp.pi, w, endpoint=False)
+    r = jnp.linspace(0.0, 1.0, h)
+    phi_g, r_g = jnp.meshgrid(phi, r)
+
+    kappa = 0.6 / (arc_phi_width**2)
+    az = jnp.exp(
+        kappa[:, None, None]
+        * (jnp.cos(phi_g[None] - arc_phi[:, None, None]) - 1.0)
+    )
+    rad = jnp.exp(
+        -0.5 * ((r_g[None] - arc_r[:, None, None]) / arc_r_width[:, None, None]) ** 2
+    )
+    cloud = jnp.sum(az * rad * arc_intensity[:, None, None], axis=0)
+    return jnp.clip(cloud, 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def periodic_pixel_noise(key, shape: Tuple[int, int]) -> jnp.ndarray:
+    """White pixel noise in [-1, 1], periodic in phi (last column = first)."""
+    h, w = shape
+    noise = jax.random.uniform(key, (h, w))
+    noise = noise.at[:, -1].set(noise[:, 0])
+    return noise * 2.0 - 1.0
+
+
+def _bilinear_resize(small: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear upscale of an (h, w) array (align-centers convention)."""
+    h, w = small.shape
+    ys = (jnp.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (jnp.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    fy = jnp.clip(ys - y0, 0.0, 1.0)[:, None]
+    fx = jnp.clip(xs - x0, 0.0, 1.0)[None, :]
+    top = small[y0][:, x0] * (1 - fx) + small[y0][:, x1] * fx
+    bot = small[y1][:, x0] * (1 - fx) + small[y1][:, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def fbm_noise(
+    key,
+    shape: Tuple[int, int],
+    octaves: int = 4,
+    persistence: float = 0.5,
+    base_scale: int = 1,
+    wrap_u: bool = False,
+) -> jnp.ndarray:
+    """2D FBM field in [0, ~1].
+
+    wrap_u=True sums tileable arc-noise octaves (phi-seamless) and
+    normalizes by the max; wrap_u=False sums bilinear-upscaled random
+    grids (image-pyramid FBM). Parity: reference `_fbm_noise`
+    (render.py:1068-1091).
+    """
+    h, w = shape
+    keys = jax.random.split(key, octaves)
+    if wrap_u:
+        result = jnp.zeros(shape)
+        for idx in range(octaves):
+            result = result + tileable_noise(keys[idx], shape) * (persistence**idx)
+        return result / (jnp.max(result) + 1e-6)
+    result = jnp.zeros(shape)
+    amplitude = 1.0
+    total = 0.0
+    for idx in range(octaves):
+        scale = base_scale * (2**idx)
+        sh = max(h // scale, 2)
+        sw = max(w // scale, 2)
+        small = jax.random.uniform(keys[idx], (sh, sw))
+        result = result + _bilinear_resize(small, h, w) * amplitude
+        total += amplitude
+        amplitude *= persistence
+    return result / total

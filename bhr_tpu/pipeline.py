@@ -334,11 +334,14 @@ class Renderer:
         frame: int = 0,
         skip_differentials: bool = False,
         skip_bloom: bool = False,
+        lens_flare: Optional[bool] = None,
     ) -> jnp.ndarray:
         """Render a full frame, returned on device (H, W, 3)."""
+        use_flare = (
+            self.config.lens_flare if lens_flare is None else lens_flare
+        )
         final, _, _ = self._run_frame(
-            cam_pos, fov, frame, skip_differentials, skip_bloom,
-            self.config.lens_flare,
+            cam_pos, fov, frame, skip_differentials, skip_bloom, use_flare
         )
         return final
 
@@ -349,12 +352,14 @@ class Renderer:
         frame: int = 0,
         skip_differentials: bool = False,
         skip_bloom: bool = False,
+        lens_flare: Optional[bool] = None,
     ) -> np.ndarray:
         """Render a full frame -> (H, W, 3) float32 numpy in [0, 1]."""
         return np.asarray(
             jax.device_get(
                 self.render_device(
-                    cam_pos, fov, frame, skip_differentials, skip_bloom
+                    cam_pos, fov, frame, skip_differentials, skip_bloom,
+                    lens_flare,
                 )
             )
         )

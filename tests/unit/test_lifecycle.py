@@ -1,0 +1,151 @@
+"""Entity lifecycle tests: fade math, death, steady state, accumulation."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from bhr_tpu.constants import (
+    FILAMENT_DEATH_THRESHOLD,
+    FILAMENT_MAX_LIFETIME,
+)
+from bhr_tpu.models.dynamic_disk import DynamicDiskSystem
+from bhr_tpu.models.lifecycle import (
+    MAX_FILAMENTS,
+    MAX_HOTSPOTS,
+    MAX_RT_SPIKES,
+    Entity,
+    accumulate_entity_layer,
+    make_factories,
+    pack_filaments,
+    pack_timer_entities,
+)
+
+
+def _filament(birth=0.0, **kw):
+    defaults = dict(
+        entity_type="filament", birth_time=birth, lifetime=30.0,
+        fade_in=0.0, fade_out=0.0, omega=0.3, phi_center=1.0,
+        base_r=0.5, sigma_r=0.01, sigma_phi0=0.06,
+        peak_density=0.8, peak_temp=0.2, alpha_shear=0.03,
+    )
+    defaults.update(kw)
+    return Entity(**defaults)
+
+
+def _hotspot(birth=0.0, **kw):
+    defaults = dict(
+        entity_type="hotspot", birth_time=birth, lifetime=20.0,
+        fade_in=4.0, fade_out=4.0, omega=0.3, phi_center=2.0,
+        phi_width=0.1, r_center=0.5, r_width=0.03, intensity=0.7,
+        delta_t=0.12,
+    )
+    defaults.update(kw)
+    return Entity(**defaults)
+
+
+def test_filament_density_factor_monotonic():
+    e = _filament()
+    vals = [e.density_factor(t) for t in np.linspace(0, 60, 30)]
+    assert vals[0] == 1.0
+    assert all(b <= a + 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+def test_filament_death_by_threshold_or_age():
+    e = _filament(alpha_shear=2.0, tau_cool=5.0)  # fast decay
+    # find first death time
+    t = 0.0
+    while not e.is_dead(t) and t < 200:
+        t += 0.5
+    assert t < FILAMENT_MAX_LIFETIME
+    assert e.density_factor(t) < FILAMENT_DEATH_THRESHOLD
+    e2 = _filament(alpha_shear=0.0, tau_cool=1e9)  # never decays
+    assert not e2.is_dead(FILAMENT_MAX_LIFETIME - 1)
+    assert e2.is_dead(FILAMENT_MAX_LIFETIME + 0.1)
+
+
+def test_timer_fade_envelope():
+    e = _hotspot()
+    assert e.fade_factor(-1.0) == 0.0
+    assert abs(e.fade_factor(2.0) - 0.5) < 1e-9  # mid fade-in
+    assert e.fade_factor(10.0) == 1.0  # alive
+    assert abs(e.fade_factor(26.0) - 0.5) < 1e-9  # mid fade-out
+    assert e.fade_factor(30.0) == 0.0  # done
+
+
+def test_factory_steady_state_counts():
+    factories = make_factories(32, 128, 2.0, 3.5, seed=42)
+    for f in factories.values():
+        f.seed_initial(0.0)
+    total0 = sum(len(f.entities) for f in factories.values())
+    assert total0 == 200 + 30 + 15
+    # run for a while; counts should stay near targets
+    for i in range(1, 200):
+        t = i * 0.5
+        for f in factories.values():
+            f.tick(t, 0.5)
+    fil = len(factories["filament"].entities)
+    hs = len(factories["hotspot"].entities)
+    rt = len(factories["rt_spike"].entities)
+    assert 150 <= fil <= 220, fil
+    assert 20 <= hs <= 35, hs
+    assert 8 <= rt <= 20, rt
+    # capacities never exceeded (device packing safety)
+    assert fil <= MAX_FILAMENTS and hs <= MAX_HOTSPOTS and rt <= MAX_RT_SPIKES
+
+
+def test_accumulate_entity_layer_shapes_and_content():
+    factories = make_factories(32, 128, 2.0, 3.5, seed=1)
+    for f in factories.values():
+        f.seed_initial(0.0)
+    now = 1.0
+    for f in factories.values():
+        f.tick(now, 1.0)
+    fil = jnp.asarray(pack_filaments(factories["filament"], now))
+    hs = jnp.asarray(pack_timer_entities(factories["hotspot"], now, MAX_HOTSPOTS, 0.0))
+    rt = jnp.asarray(pack_timer_entities(factories["rt_spike"], now, MAX_RT_SPIKES, 1.0))
+    omega = jnp.asarray(factories["filament"].omega_rows)
+    staging = np.asarray(accumulate_entity_layer(fil, hs, rt, omega, 32, 128))
+    assert staging.shape == (6, 32, 128)
+    assert np.isfinite(staging).all()
+    assert (staging >= 0).all()
+    # every plane has some content at steady state
+    for plane in range(6):
+        assert staging[plane].max() > 0, plane
+    # sparsity: filament plane should not be dense
+    assert (staging[0] > 0.05).mean() < 0.7
+
+
+def test_filament_shear_spreads_with_age():
+    """An old filament has a wider azimuthal footprint than a young one."""
+    e_young = _filament(birth=0.0)
+    e_old = _filament(birth=-40.0)
+    omega = jnp.full((32,), 0.3)
+
+    def footprint(e):
+        fac = type("F", (), {"alive_entities": [e]})()
+        p = jnp.asarray(pack_filaments(fac, 0.0))
+        st = np.asarray(
+            accumulate_entity_layer(
+                p, jnp.zeros((1, 8)), jnp.zeros((1, 8)), omega, 32, 128
+            )
+        )
+        d = st[0]
+        row = d[np.argmax(d.max(axis=1))]
+        peak = row.max()
+        return (row > peak * 0.3).sum()
+
+    assert footprint(e_old) > footprint(e_young)
+
+
+def test_dynamic_disk_visual_sanity():
+    """Full system: no NaN, temporal change, steady-state texture stats
+    (the reference's visual-sanity budget tests,
+    tests/unit/test_lifecycle_perf.py:137-217)."""
+    dyn = DynamicDiskSystem(48, 192, 2.0, 3.5, seed=42)
+    tex0 = np.asarray(dyn.advance(0.0, 0.0, recompute_stats=True))
+    tex1 = np.asarray(dyn.advance(0.5, 0.5))
+    assert np.isfinite(tex0).all() and np.isfinite(tex1).all()
+    assert tex0[..., 3].std() > 0.02
+    assert np.abs(tex1 - tex0).mean() > 1e-4
+    assert tex0.max() <= 1.0 and tex0.min() >= 0.0

@@ -1,0 +1,110 @@
+"""Run-mode tests: image, video resume protocol, CLI parsing."""
+
+import dataclasses
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from bhr_tpu.cli import build_parser, config_from_args
+from bhr_tpu.config import SceneConfig
+from bhr_tpu.modes import render_image, render_video
+
+
+@pytest.fixture()
+def tiny_cfg(tmp_path):
+    return SceneConfig(
+        width=64, height=36, fov=60.0, step_size=0.3, n_stars=100,
+        disk_inner_radius=2.0, disk_outer_radius=3.5, disk_tilt=15.0,
+        n_frames=3, fps=2, orbit=True,
+        output=str(tmp_path / "video.mp4"),
+    ).validated()
+
+
+def test_render_image_lifecycle(tiny_cfg):
+    img = render_image(tiny_cfg)
+    assert img.shape == (36, 64, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01
+
+
+def test_video_writes_frames_and_progress(tiny_cfg, tmp_path):
+    cfg = dataclasses.replace(tiny_cfg, video=True)
+    render_video(cfg)
+    frames = sorted(glob.glob(str(tmp_path / ".frames_*" / "frame_*.png")))
+    assert len(frames) == 3
+    progress = glob.glob(str(tmp_path / ".frames_*" / "progress.json"))[0]
+    data = json.load(open(progress))
+    assert sorted(data["completed"]) == [0, 1, 2]
+    assert data["params"]["n_frames"] == 3
+
+
+def test_video_resume_skips_completed(tiny_cfg, tmp_path):
+    cfg = dataclasses.replace(tiny_cfg, video=True)
+    render_video(cfg)
+    progress = glob.glob(str(tmp_path / ".frames_*" / "progress.json"))[0]
+    data = json.load(open(progress))
+    data["completed"] = [0]
+    json.dump(data, open(progress, "w"))
+    frame1 = glob.glob(str(tmp_path / ".frames_*" / "frame_0001.png"))[0]
+    mtime0 = os.path.getmtime(glob.glob(str(tmp_path / ".frames_*" / "frame_0000.png"))[0])
+    os.remove(frame1)
+
+    render_video(dataclasses.replace(cfg, resume=True))
+    # frame 1 re-rendered, frame 0 untouched
+    assert os.path.exists(frame1)
+    assert os.path.getmtime(
+        glob.glob(str(tmp_path / ".frames_*" / "frame_0000.png"))[0]
+    ) == mtime0
+
+
+def test_video_param_change_invalidates(tiny_cfg, tmp_path):
+    cfg = dataclasses.replace(tiny_cfg, video=True)
+    render_video(cfg)
+    cfg2 = dataclasses.replace(cfg, orbit_degrees=180.0, resume=True)
+    render_video(cfg2)
+    progress = glob.glob(str(tmp_path / ".frames_*" / "progress.json"))[0]
+    data = json.load(open(progress))
+    assert data["params"]["orbit_degrees"] == 180.0
+    assert sorted(data["completed"]) == [0, 1, 2]
+
+
+def test_cli_defaults_match_reference():
+    args = build_parser().parse_args([])
+    cfg = config_from_args(args)
+    assert cfg.pov == (6.0, 0.0, 0.5)
+    assert cfg.fov == 90.0
+    assert cfg.image_size == (1920, 1080)
+    assert cfg.step_size == 0.1
+    assert cfg.r_max == 10.0
+    assert cfg.n_stars == 6000
+    assert cfg.disk_inner_radius == 2.0
+    assert cfg.disk_outer_radius == 15.0
+    assert cfg.n_frames == 3600
+    assert cfg.fps == 36
+    assert cfg.disk_rotation_speed == 0.1
+
+
+def test_cli_aliases_and_deprecated_flags():
+    args = build_parser().parse_args(
+        ["--ar1", "2.5", "--ar2", "4.0", "--disk_generation_scale", "4",
+         "--disk_rotation_algorithm", "parametric", "--keyframes_count", "7"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.disk_inner_radius == 2.5
+    assert cfg.disk_outer_radius == 4.0
+    assert cfg.disk_generation_scale == 4  # accepted, ignored
+
+
+def test_cli_invalid_rejected():
+    args = build_parser().parse_args(["--step_size", "-1"])
+    with pytest.raises(ValueError):
+        config_from_args(args)
+
+
+def test_cli_fov_wraps_mod_180():
+    # fov % 180 like the reference __main__ (render.py:4625).
+    args = build_parser().parse_args(["--fov", "250"])
+    assert config_from_args(args).fov == 70.0
