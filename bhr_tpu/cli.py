@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="procedural skybox star count")
     p.add_argument("--disk_texture", type=str, default=None,
                    help="external disk texture (static single-frame only)")
+    p.add_argument("--disk_model", type=str, default="texture",
+                   choices=["texture", "v2"],
+                   help="disk shading model: procedural texture (V1) or "
+                        "disk_v2 volume emission integration")
     p.add_argument("--disk_generation_scale", type=int, default=2,
                    choices=DISK_GENERATION_SCALE_CHOICES,
                    help="[deprecated] unused by the lifecycle system")
@@ -92,6 +96,7 @@ def config_from_args(args: argparse.Namespace) -> SceneConfig:
         r_max=args.r_max,
         n_stars=args.n_stars,
         disk_texture=args.disk_texture,
+        disk_model=args.disk_model,
         disk_inner_radius=args.disk_inner_radius,
         disk_outer_radius=args.disk_outer_radius,
         disk_tilt=args.disk_tilt,

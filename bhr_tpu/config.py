@@ -45,6 +45,7 @@ class SceneConfig:
     skybox_seed: int = 42
 
     # Disk
+    disk_model: str = "texture"  # "texture" (V1) | "v2" (volume integration)
     disk_texture: Optional[str] = None
     disk_inner_radius: float = R_DISK_INNER_DEFAULT
     disk_outer_radius: float = R_DISK_OUTER_DEFAULT
@@ -106,6 +107,8 @@ class SceneConfig:
             raise ValueError(f"orbit_degrees must be finite, got {self.orbit_degrees}")
         if self.anti_alias not in ("disabled", "lod_radius"):
             raise ValueError(f"unknown anti_alias mode: {self.anti_alias}")
+        if self.disk_model not in ("texture", "v2"):
+            raise ValueError(f"unknown disk_model: {self.disk_model}")
         if self.disk_texture and (self.video or self.interactive):
             raise ValueError(
                 "disk_texture only supports static single-frame rendering; "

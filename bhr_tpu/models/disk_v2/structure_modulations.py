@@ -1,0 +1,149 @@
+"""Disk V2 static structure modulations (multiplicative factors ~ 1).
+
+Parity: reference disk_v2/structure_modulations.py — three layers:
+weak m=1/m=2 modes with log-r phase coupling, a seeded random-Fourier
+shear texture in (phi, log r), and sparse difference-of-Gaussian
+hotspots biased toward the inner disk; composed multiplicatively and
+neutral (= 1) outside the disk.
+
+Advection hook (the reference's planned phi_adv, design_ad_v2.md:
+370-405): every layer takes an optional time `t`; coordinates advect as
+phi_adv = phi - Omega(r) * t, giving differential rotation of the
+static pattern.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .geometry import disk_radial_weight
+from .params import DiskV2Params, DiskV2StructureParams
+from .physical_fields import angular_velocity_field
+
+
+def _normalize_signed(value: jnp.ndarray) -> jnp.ndarray:
+    """Scale an arbitrary field to [-1, 1] (zeros stay zero)."""
+    max_abs = jnp.max(jnp.abs(value))
+    return jnp.where(max_abs > 1e-15, value / jnp.maximum(max_abs, 1e-15), 0.0)
+
+
+def _wrapped_delta_phi(phi: jnp.ndarray, center: float) -> jnp.ndarray:
+    """Shortest signed angular difference in [-pi, pi]."""
+    return jnp.arctan2(jnp.sin(phi - center), jnp.cos(phi - center))
+
+
+def _log_radius(r: jnp.ndarray, params: DiskV2Params) -> jnp.ndarray:
+    return jnp.log(jnp.maximum(r, params.r_in) / params.r_in)
+
+
+def _advected_phi(r, phi, params: DiskV2Params, t) -> jnp.ndarray:
+    """phi_adv = phi - Omega(r) * t — unified differential advection.
+
+    ``t`` may be a traced scalar (always computed; XLA folds t=0 away).
+    """
+    return jnp.asarray(phi) - angular_velocity_field(r, params) * t
+
+
+def weak_mode_modulation(
+    r, phi, params: DiskV2Params,
+    structure_params: DiskV2StructureParams | None = None,
+    t: float = 0.0,
+) -> jnp.ndarray:
+    """F_mode = 1 + a1 cos(phi + 0.35 log r) + a2 cos(2 phi - 0.65 log r);
+    neutral (1) outside the radial window."""
+    sp = structure_params or DiskV2StructureParams()
+    r = jnp.asarray(r)
+    phi = _advected_phi(r, phi, params, t)
+    log_r = _log_radius(r, params)
+    raw = sp.mode1_strength * jnp.cos(phi + 0.35 * log_r) + sp.mode2_strength * jnp.cos(
+        2.0 * phi - 0.65 * log_r
+    )
+    window = disk_radial_weight(r, params)
+    return jnp.where(window > 0.0, 1.0 + raw, 1.0)
+
+
+def shear_modulation(
+    r, phi, params: DiskV2Params,
+    structure_params: DiskV2StructureParams | None = None,
+    seed: int = 42,
+    t: float = 0.0,
+) -> jnp.ndarray:
+    """Random-Fourier shear texture: sum of cos(m phi + n log r + psi)
+    components with geometric amplitude decay, normalized to [-1, 1] and
+    applied as 1 + strength * signed."""
+    sp = structure_params or DiskV2StructureParams()
+    rng = np.random.default_rng(seed)
+    r = jnp.asarray(r)
+    phi = _advected_phi(r, phi, params, t)
+    log_r = _log_radius(r, params)
+
+    raw = jnp.zeros(jnp.broadcast_shapes(r.shape, phi.shape))
+    for idx in range(sp.shear_components):
+        m = int(rng.integers(2, 10))
+        n = int(rng.integers(1, 6))
+        psi = float(rng.uniform(0.0, 2.0 * np.pi))
+        amp = 0.5**idx
+        raw = raw + amp * jnp.cos(m * phi + n * log_r + psi)
+        raw = raw + 0.6 * amp * jnp.sin(
+            (m + 1) * phi - (n + 0.5) * log_r + 0.7 * psi
+        )
+
+    signed = _normalize_signed(raw)
+    window = disk_radial_weight(r, params)
+    return jnp.where(window > 0.0, 1.0 + sp.shear_strength * signed, 1.0)
+
+
+def hotspot_modulation(
+    r, phi, params: DiskV2Params,
+    structure_params: DiskV2StructureParams | None = None,
+    seed: int = 42,
+    t: float = 0.0,
+) -> jnp.ndarray:
+    """Sparse difference-of-Gaussian hotspots (bright core - 0.6 halo) in
+    (phi, log r), inner-biased via u^bias, as a signed modulation."""
+    sp = structure_params or DiskV2StructureParams()
+    rng = np.random.default_rng(seed)
+    r = jnp.asarray(r)
+    phi = _advected_phi(r, phi, params, t)
+    log_r = _log_radius(r, params)
+    log_span = float(np.log(params.r_out / params.r_in))
+    halo_phi, halo_logr, halo_w = 1.8, 1.8, 0.6
+
+    raw = jnp.zeros(jnp.broadcast_shapes(r.shape, phi.shape))
+    for _ in range(sp.hotspot_count):
+        center_phi = float(rng.uniform(0.0, 2.0 * np.pi))
+        center_logr = float(
+            (rng.uniform(0.0, 1.0) ** sp.hotspot_inner_bias) * log_span
+        )
+        weight = float(rng.uniform(0.6, 1.0))
+
+        d_phi = _wrapped_delta_phi(phi, center_phi)
+        d_logr = (log_r - center_logr) / sp.hotspot_logr_sigma
+        core = jnp.exp(-0.5 * (d_phi / sp.hotspot_phi_sigma) ** 2 - 0.5 * d_logr**2)
+        halo = jnp.exp(
+            -0.5 * (d_phi / (halo_phi * sp.hotspot_phi_sigma)) ** 2
+            - 0.5 * ((log_r - center_logr) / (halo_logr * sp.hotspot_logr_sigma)) ** 2
+        )
+        raw = raw + weight * (core - halo_w * halo)
+
+    signed = _normalize_signed(raw)
+    window = disk_radial_weight(r, params)
+    return jnp.where(window > 0.0, 1.0 + sp.hotspot_strength * signed, 1.0)
+
+
+def structure_modulation(
+    r, phi, params: DiskV2Params,
+    structure_params: DiskV2StructureParams | None = None,
+    seed: int = 42,
+    t: float = 0.0,
+) -> jnp.ndarray:
+    """Composite F_struct = F_mode * F_shear * F_hotspot, neutral outside."""
+    sp = structure_params or DiskV2StructureParams()
+    mode = weak_mode_modulation(r, phi, params, sp, t=t)
+    shear = shear_modulation(r, phi, params, sp, seed=seed, t=t)
+    hotspot = hotspot_modulation(r, phi, params, sp, seed=seed + 1, t=t)
+    combined = mode * shear * hotspot
+    window = disk_radial_weight(jnp.asarray(r), params)
+    return jnp.where(window > 0.0, combined, 1.0)

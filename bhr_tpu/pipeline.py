@@ -145,6 +145,97 @@ def shade_frame(
     return bg, disk_rgb, alpha_total
 
 
+def shade_frame_v2(
+    trace: geodesic.TraceResult,
+    skybox_q: jnp.ndarray,
+    cam_pos: jnp.ndarray,
+    *,
+    v2_params,
+    v2_structure,
+    tilt_deg: float,
+    t_offset,
+    palette: str = "cinematic",
+    n_samples: int = 8,
+    color_temp: float = DISK_COLOR_TEMPERATURE,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Disk V2 deferred shading: emission-absorption slab integration.
+
+    Replaces the texture lookup of shade_frame with the disk_v2 volume
+    model (models/disk_v2/integrator.py): at each recorded midplane
+    crossing, integrate j * exp(-tau) through the finite-thickness slab
+    along the ray, map (intensity, temperature) through the palette, and
+    apply the same relativistic g-factor shading and front-to-back
+    compositing as the V1 path.
+    """
+    from .models.disk_v2.integrator import integrate_emission
+    from .models.disk_v2.palette import apply_palette
+
+    k_slots = trace.hits.shape[0]
+    n = trace.hits.shape[2]
+    tilt_rad = float(np.deg2rad(tilt_deg))
+    tan_t = float(np.tan(tilt_rad))
+    cos_t, sin_t = float(np.cos(tilt_rad)), float(np.sin(tilt_rad))
+
+    accum = jnp.zeros((n, 3), trace.hits.dtype)
+    alpha_total = jnp.zeros((n,), trace.hits.dtype)
+    max_hits = jnp.max(trace.hit_count)
+
+    def to_disk_frame(v):
+        """Rotate world -> disk frame (tilt about x-axis undone)."""
+        x, y, z = v[:, 0], v[:, 1], v[:, 2]
+        return jnp.stack(
+            [x, y * cos_t + z * sin_t, -y * sin_t + z * cos_t], axis=-1
+        )
+
+    def shade_slot(k, accum, alpha_total):
+        feat = trace.hits[k]
+        valid = k < trace.hit_count
+        hit_x, hit_y = feat[0], feat[1]
+        hit_z = hit_y * tan_t
+        hit_pos_w = jnp.stack([hit_x, hit_y, hit_z], axis=-1)
+        ray_dir_w = feat[2:5].T
+
+        hit_pos_d = to_disk_frame(hit_pos_w)
+        ray_dir_d = to_disk_frame(ray_dir_w)
+
+        intensity, temp_mean, alpha = integrate_emission(
+            hit_pos_d, ray_dir_d, v2_params, v2_structure,
+            n_samples=n_samples, t=t_offset,
+        )
+        t_peak = float(v2_params.temp_scale)
+        color = apply_palette(
+            intensity * 4.0, temp_mean / max(t_peak * 0.45, 1e-6), palette
+        )
+
+        hit_r = jnp.sqrt(hit_x**2 + hit_y**2)
+        shaded = apply_g_factor(
+            color, hit_pos_w, hit_r, -ray_dir_w, cam_pos,
+            float(v2_params.r_in), float(v2_params.r_out), tilt_rad,
+            color_temp,
+        )
+        alpha = jnp.where(valid, jnp.clip(alpha, 0.0, 0.999), 0.0)
+        front = 1.0 - alpha_total
+        accum = accum + shaded * (alpha * front)[:, None]
+        alpha_total = 1.0 - front * (1.0 - alpha)
+        return accum, alpha_total
+
+    for k in range(k_slots):
+        accum, alpha_total = jax.lax.cond(
+            k < max_hits,
+            lambda acc, al, k=k: shade_slot(k, acc, al),
+            lambda acc, al: (acc, al),
+            accum, alpha_total,
+        )
+
+    bg = jnp.where(
+        trace.escaped[:, None],
+        sample_skybox_quad(skybox_q, trace.escape_dir),
+        0.0,
+    )
+    bg = bg * (1.0 - alpha_total)[:, None]
+    return bg, jnp.clip(accum, 0.0, 1.0), alpha_total
+
+
 class Renderer:
     """Holds device assets + static config; renders frames via one jitted
     whole-frame XLA program per static mode.
@@ -215,10 +306,30 @@ class Renderer:
     # while the staged stages compile in seconds and pipeline cleanly.
 
     def _shade_fn(self, use_diff: bool):
-        key = ("shade", use_diff, self.num_mip_levels)
+        key = ("shade", use_diff, self.num_mip_levels,
+               self.config.disk_model)
         fn = self._frame_fns.get(key)
         if fn is None:
             cfg = self.config
+            if cfg.disk_model == "v2":
+                from .models.disk_v2.params import DiskV2Params
+
+                v2_params = DiskV2Params(
+                    r_in=float(cfg.disk_inner_radius),
+                    r_out=float(cfg.disk_outer_radius),
+                )
+
+                def shade_v2(trace, skybox_q, disk_qmips, cam_pos, t_offset):
+                    return shade_frame_v2(
+                        trace, skybox_q, cam_pos,
+                        v2_params=v2_params, v2_structure=None,
+                        tilt_deg=float(cfg.disk_tilt),
+                        t_offset=t_offset,
+                    )
+
+                fn = jax.jit(shade_v2)
+                self._frame_fns[key] = fn
+                return fn
 
             def shade(trace, skybox_q, disk_qmips, cam_pos, t_offset):
                 return shade_frame(
@@ -272,7 +383,9 @@ class Renderer:
         return fn
 
     def _trace(self, camera: Camera, r_escape: float, use_diff: bool):
-        has_disk = self.disk_qmips is not None
+        has_disk = (
+            self.disk_qmips is not None or self.config.disk_model == "v2"
+        )
         trace_kwargs = dict(
             h_base=float(self.config.step_size),
             r_escape=float(r_escape),

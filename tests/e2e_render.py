@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""End-to-end golden-image harness.
+
+Renders the reference e2e scene (tests/e2e_render.py:25-44 in the
+reference: 320x180, cam (6, 0, 0.5), fov 60, step 0.1, disk 2.0-3.5,
+tilt 15 deg, 100 stars, AA off) and compares against a stored per-backend
+golden. The reference pins an MD5 of its CPU float buffer
+(tests/e2e_baseline.txt); across backends/compilers bit-exactness is
+meaningless, so this harness stores the full golden image and verifies
+with a tolerance (max |diff| and mean |diff| bounds), plus an exact hash
+when the backend matches.
+
+Usage:
+    python tests/e2e_render.py --generate   # write golden for this backend
+    python tests/e2e_render.py --verify    # compare against golden
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+
+import numpy as np
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+# Tolerances for cross-compilation verification (same backend should be
+# bitwise identical; these bounds catch real regressions while allowing
+# compiler-version drift).
+MAX_ABS_TOL = 5e-3
+MEAN_ABS_TOL = 2e-4
+OUTLIER_FRAC = 0.001  # fraction of pixels allowed above 10x mean tol
+
+
+def render_e2e_scene() -> np.ndarray:
+    """The pinned golden scene, deterministic given the backend."""
+    from bhr_tpu.config import SceneConfig
+    from bhr_tpu.modes import render_image
+
+    config = SceneConfig(
+        width=320,
+        height=180,
+        pov=(6.0, 0.0, 0.5),
+        fov=60.0,
+        step_size=0.1,
+        r_max=10.0,
+        n_stars=100,
+        disk_inner_radius=2.0,
+        disk_outer_radius=3.5,
+        disk_tilt=15.0,
+        anti_alias="disabled",
+        seed=42,
+    ).validated()
+    return render_image(config)
+
+
+def golden_path() -> str:
+    import jax
+
+    backend = jax.default_backend()
+    return os.path.join(GOLDEN_DIR, f"e2e_{backend}.npz")
+
+
+def generate() -> int:
+    img = render_e2e_scene()
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    path = golden_path()
+    digest = hashlib.md5(img.tobytes()).hexdigest()
+    np.savez_compressed(path, image=img, md5=digest)
+    print(f"Golden written: {path} (md5 {digest})")
+    return 0
+
+
+def verify() -> int:
+    path = golden_path()
+    if not os.path.exists(path):
+        print(f"No golden at {path}; run with --generate first")
+        return 2
+    data = np.load(path, allow_pickle=True)
+    golden = data["image"]
+    img = render_e2e_scene()
+
+    digest = hashlib.md5(img.tobytes()).hexdigest()
+    if digest == str(data["md5"]):
+        print(f"PASS (bit-exact, md5 {digest})")
+        return 0
+
+    diff = np.abs(img.astype(np.float64) - golden.astype(np.float64))
+    max_abs = diff.max()
+    mean_abs = diff.mean()
+    outliers = (diff > 10 * MEAN_ABS_TOL).mean()
+    ok = (max_abs <= MAX_ABS_TOL and mean_abs <= MEAN_ABS_TOL
+          and outliers <= OUTLIER_FRAC)
+    print(f"{'PASS' if ok else 'FAIL'} (tolerance): max={max_abs:.2e} "
+          f"mean={mean_abs:.2e} outliers={outliers:.4%}")
+    return 0 if ok else 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    group = ap.add_mutually_exclusive_group(required=True)
+    group.add_argument("--generate", action="store_true")
+    group.add_argument("--verify", action="store_true")
+    args = ap.parse_args()
+    return generate() if args.generate else verify()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,43 @@
+"""E2E golden-scene tests (CPU backend, deterministic)."""
+
+import hashlib
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from e2e_render import golden_path, render_e2e_scene  # noqa: E402
+
+
+def test_e2e_scene_deterministic_and_sane():
+    img = render_e2e_scene()
+    assert img.shape == (180, 320, 3)
+    assert np.isfinite(img).all()
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    # Scene content: black-hole shadow (the disk crosses the exact
+    # center at this tilt, so assert a dominant dark fraction) + ring.
+    h, w = 180, 320
+    center = img[h // 2 - 16 : h // 2 + 16, w // 2 - 16 : w // 2 + 16]
+    dark_frac = (center.sum(axis=-1) < 0.05).mean()
+    assert dark_frac > 0.5, f"shadow should dominate the center ({dark_frac})"
+    assert img.max() > 0.5, "photon ring should be bright"
+    assert (img.sum(axis=-1) > 0.02).mean() > 0.05
+
+    img2 = render_e2e_scene()
+    np.testing.assert_array_equal(img, img2)
+
+
+def test_e2e_matches_golden_if_present():
+    path = golden_path()
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("no golden for this backend yet")
+    data = np.load(path, allow_pickle=True)
+    golden = data["image"]
+    img = render_e2e_scene()
+    if hashlib.md5(img.tobytes()).hexdigest() == str(data["md5"]):
+        return
+    diff = np.abs(img.astype(np.float64) - golden.astype(np.float64))
+    assert diff.max() <= 5e-3 and diff.mean() <= 2e-4
