@@ -59,8 +59,60 @@ def _depthwise_1d(img_nchw: jnp.ndarray, taps: jnp.ndarray, axis: int) -> jnp.nd
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _banded_blur_matrices(n: int, kernel_radius: int, sigma_scale: float):
+    """(n, n, 3) per-channel banded blur matrices with boundary
+    normalization folded in: B[i, j, c] = w_c(i - j) / sum_inbounds w_c.
+
+    Separable Gaussian blur as a matmul: out[..., j, c] =
+    sum_i x[..., i, c] * B[i, j, c] — this runs on the MXU, ~20x faster
+    than the depthwise-conv lowering for FHD-sized kernels.
+    """
+    idx = np.arange(n)
+    d = idx[:, None] - idx[None, :]  # (i, j)
+    mats = []
+    for den in _CHANNEL_DENOMS:
+        w = np.exp(-(d.astype(np.float32) ** 2) / (den * sigma_scale))
+        w[np.abs(d) > kernel_radius] = 0.0
+        w = w / np.maximum(w.sum(axis=0, keepdims=True), 1e-12)
+        mats.append(w)
+    return jnp.asarray(np.stack(mats, axis=-1))
+
+
 @functools.partial(jax.jit, static_argnames=("width_ref", "threshold"))
 def apply_bloom(
+    disk_layer: jnp.ndarray, *, width_ref: int, threshold: float = 0.0
+) -> jnp.ndarray:
+    """Separable per-channel bloom via banded-matrix matmuls (MXU).
+
+    Numerically identical contract to :func:`apply_bloom_conv` (same
+    taps, same boundary normalization), asserted by the oracle tests.
+    """
+    h, w = disk_layer.shape[0], disk_layer.shape[1]
+    kernel_radius = max(int(width_ref * 0.02), 1)
+    sigma_scale = (width_ref / 640.0) ** 2
+
+    lum = (
+        disk_layer[..., 0] * 0.2126
+        + disk_layer[..., 1] * 0.7152
+        + disk_layer[..., 2] * 0.0722
+    )
+    bright = jnp.where((lum > threshold)[..., None], disk_layer, 0.0)
+
+    b_w = _banded_blur_matrices(w, kernel_radius, sigma_scale)  # (W, W, 3)
+    b_h = _banded_blur_matrices(h, kernel_radius, sigma_scale)  # (H, H, 3)
+
+    # Horizontal then vertical pass, per channel on the MXU.
+    pass_h = jnp.einsum(
+        "hwc,wvc->hvc", bright, b_w, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "hwc,huc->uwc", pass_h, b_h, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("width_ref", "threshold"))
+def apply_bloom_conv(
     disk_layer: jnp.ndarray, *, width_ref: int, threshold: float = 0.0
 ) -> jnp.ndarray:
     """Separable per-channel bloom of the disk layer.

@@ -40,7 +40,9 @@ from ..constants import MAX_DISK_CROSSINGS, RS
 from .geodesic import HIT_FEATURES, TraceResult
 
 # Tile shape: BR sublanes x BC lanes of pixels per kernel instance.
-BLOCK_ROWS = 16
+# 64x128 measured fastest at FHD (57.7ms vs 67ms for 16x128): fewer
+# grid-step overheads outweigh the coarser early-exit granularity.
+BLOCK_ROWS = 64
 BLOCK_COLS = 128
 
 # Camera parameter vector layout (SMEM):

@@ -108,6 +108,7 @@ def shade_frame(
                 rgba = sample_disk_quad(
                     disk_qmips[0], hit_x, hit_y, r_inner, r_outer, t_offset
                 )
+            rgba = rgba.astype(jnp.float32)
 
             hit_r = jnp.sqrt(hit_x**2 + hit_y**2)
             hit_z = hit_y * tan_t
@@ -137,7 +138,7 @@ def shade_frame(
 
     bg = jnp.where(
         trace.escaped[:, None],
-        sample_skybox_quad(skybox_q, trace.escape_dir),
+        sample_skybox_quad(skybox_q, trace.escape_dir).astype(jnp.float32),
         0.0,
     )
     bg = bg * (1.0 - alpha_total)[:, None]
@@ -229,7 +230,7 @@ def shade_frame_v2(
 
     bg = jnp.where(
         trace.escaped[:, None],
-        sample_skybox_quad(skybox_q, trace.escape_dir),
+        sample_skybox_quad(skybox_q, trace.escape_dir).astype(jnp.float32),
         0.0,
     )
     bg = bg * (1.0 - alpha_total)[:, None]
@@ -257,7 +258,15 @@ class Renderer:
         self.config = config
         self.width, self.height = config.image_size
         self.skybox = jnp.asarray(skybox, dtype=jnp.float32)
-        self.skybox_q = jax.jit(pack_quad)(self.skybox)
+        # Textures are stored quad-packed in bf16 on TPU: gathers are
+        # byte-bound, and bf16's ~2 decimal digits exceed the 8-bit
+        # precision of typical texture content.
+        self.tex_dtype = (
+            jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        )
+        self.skybox_q = jax.jit(
+            lambda t: pack_quad(t).astype(self.tex_dtype)
+        )(self.skybox)
         self.mip_levels = mip_levels
         self.num_mip_levels = 1
         self.disk_mips: Optional[jnp.ndarray] = None
@@ -271,7 +280,8 @@ class Renderer:
 
         def _mip_and_pack(tex):
             mips = build_mipmaps(tex, levels=mip_levels)
-            return mips, pack_quad_mips(mips, mips.shape[0])
+            qmips = pack_quad_mips(mips, mips.shape[0]).astype(self.tex_dtype)
+            return mips, qmips
 
         self._mip_fn = jax.jit(_mip_and_pack)
         if disk_tex is not None:
@@ -289,7 +299,9 @@ class Renderer:
         """Install an externally built (device) mip pyramid directly."""
         self.disk_mips = mips
         self.disk_qmips = jax.jit(
-            functools.partial(pack_quad_mips, num_levels=int(mips.shape[0]))
+            lambda m: pack_quad_mips(m, int(mips.shape[0])).astype(
+                self.tex_dtype
+            )
         )(mips)
         self.num_mip_levels = int(mips.shape[0])
 

@@ -65,3 +65,14 @@ def test_bloom_dispersion_blue_wider():
     far_red = blur[15, 39, 0]
     far_blue = blur[15, 39, 2]
     assert far_blue > far_red
+
+
+def test_matmul_bloom_matches_conv_bloom():
+    """The MXU banded-matmul path equals the depthwise-conv path."""
+    from bhr_tpu.ops.bloom import apply_bloom_conv
+
+    rng = np.random.default_rng(5)
+    img = rng.random((24, 40, 3)).astype(np.float32)
+    a = np.asarray(apply_bloom(jnp.asarray(img), width_ref=640))
+    b = np.asarray(apply_bloom_conv(jnp.asarray(img), width_ref=640))
+    np.testing.assert_allclose(a, b, atol=5e-4)

@@ -1,0 +1,59 @@
+"""Performance-budget tests (pattern from the reference's
+tests/unit/test_lifecycle_perf.py:92-134, with budgets scaled for the
+CPU test backend; the TPU budgets are enforced by bench.py).
+
+Production-like state: 640x360 frame, camera-derived texture resolution.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from bhr_tpu.config import compute_disk_texture_resolution
+from bhr_tpu.models.dynamic_disk import DynamicDiskSystem, _recompute_stats
+from bhr_tpu.models.disk_texture import compose_from_state, build_parametric_state
+
+
+N_PHI, N_R = compute_disk_texture_resolution(
+    640, 360, (6.0, 0.0, 0.5), 90.0, 2.0, 15.0
+)
+
+
+@pytest.fixture(scope="module")
+def dyn():
+    system = DynamicDiskSystem(N_R, N_PHI, 2.0, 15.0, seed=42)
+    # warm up all jit paths
+    system.advance(0.0, 0.0, recompute_stats=True)
+    return system
+
+
+def _median_time(fn, n=3):
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def test_full_dynamic_frame_budget(dyn):
+    """Full texture frame (tick + background + entities + compose):
+    < 800 ms on the reference CPU; allow 2x for the JAX CPU backend."""
+    t = _median_time(lambda: np.asarray(dyn.advance(1.0, 0.1)))
+    assert t < 1.6, f"dynamic frame took {t:.2f}s"
+
+
+def test_stats_recompute_budget(dyn):
+    dyn.advance(2.0, 0.1)
+    comp = dyn.comp
+    t = _median_time(lambda: np.asarray(_recompute_stats(comp, dyn.edge)[0]))
+    assert t < 0.4, f"stats took {t:.2f}s"
+
+
+def test_parametric_compose_budget():
+    state = build_parametric_state(n_phi=N_PHI, n_r=N_R, seed=42,
+                                   r_inner=2.0, r_outer=15.0)
+    np.asarray(compose_from_state(state, 0.1))  # warm
+    t = _median_time(lambda: np.asarray(compose_from_state(state, 1.0)))
+    assert t < 0.2, f"compose took {t:.2f}s"
