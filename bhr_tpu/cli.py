@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device", "-d", type=str, default="auto",
                    choices=["auto", "tpu", "cpu"],
                    help="compute platform")
+    p.add_argument("--frame_shards", type=int, default=0,
+                   help="video frame shards across devices "
+                        "(0 = all devices, 1 = sequential)")
     p.add_argument("--video", action="store_true")
     p.add_argument("--interactive", action="store_true")
     p.add_argument("--orbit", action="store_true")
@@ -104,6 +107,7 @@ def config_from_args(args: argparse.Namespace) -> SceneConfig:
         anti_alias=args.anti_alias,
         aa_strength=args.aa_strength,
         device=args.device,
+        frame_shards=args.frame_shards,
         video=args.video,
         interactive=args.interactive,
         orbit=args.orbit,

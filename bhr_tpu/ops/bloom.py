@@ -76,7 +76,9 @@ def _banded_blur_matrices(n: int, kernel_radius: int, sigma_scale: float):
         w[np.abs(d) > kernel_radius] = 0.0
         w = w / np.maximum(w.sum(axis=0, keepdims=True), 1e-12)
         mats.append(w)
-    return jnp.asarray(np.stack(mats, axis=-1))
+    # Host numpy (NOT jnp): this function is lru_cached and may first run
+    # inside a jit trace — caching a traced array would leak the tracer.
+    return np.stack(mats, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("width_ref", "threshold"))
@@ -99,8 +101,8 @@ def apply_bloom(
     )
     bright = jnp.where((lum > threshold)[..., None], disk_layer, 0.0)
 
-    b_w = _banded_blur_matrices(w, kernel_radius, sigma_scale)  # (W, W, 3)
-    b_h = _banded_blur_matrices(h, kernel_radius, sigma_scale)  # (H, H, 3)
+    b_w = jnp.asarray(_banded_blur_matrices(w, kernel_radius, sigma_scale))
+    b_h = jnp.asarray(_banded_blur_matrices(h, kernel_radius, sigma_scale))
 
     # Horizontal then vertical pass, per channel on the MXU.
     pass_h = jnp.einsum(

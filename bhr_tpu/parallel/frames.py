@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..camera import Camera, build_camera
 from ..config import SceneConfig
@@ -141,6 +141,6 @@ def build_sharded_frame_renderer(
         mesh=mesh,
         in_specs=(P(), P(), P("frames"), P("frames")),
         out_specs=P("frames", "tile"),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

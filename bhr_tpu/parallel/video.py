@@ -1,0 +1,360 @@
+"""Mesh-sharded dynamic orbit video.
+
+The reference renders orbit videos sequentially (render.py:4437-4476).
+Frames are embarrassingly parallel *if* per-frame scene state can be
+computed independently — and it can: the entity lifecycle control plane
+is deterministic host bookkeeping, so we fast-replay it once for ALL
+frames, pack per-frame entity parameters, and let every device render
+its frame shard with zero cross-device communication:
+
+  host:   factory replay -> per-frame entity params (F, MAX_E, 8)
+  device: background noise + entity evaluation -> comp field
+          -> per-frame stats -> compose -> mips -> quad pack
+          -> geodesic trace -> deferred shade -> bloom -> final frame
+
+One deliberate semantic upgrade vs the reference: normalization stats
+recompute EVERY frame on-device (the reference recomputes every 60
+frames only because its readback+percentile path is slow,
+render.py:4456); continuous stats remove the 60-frame brightness jumps.
+
+Works identically on the CPU test mesh (8 virtual devices) and a real
+TPU pod slice; a 1-device mesh degrades to an efficient batched
+sequential renderer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..camera import build_camera, orbit_camera_position
+from ..config import SceneConfig, compute_disk_texture_resolution
+from ..constants import MAX_DISK_CROSSINGS
+from ..models.disk_texture import compose_from_components, keplerian_omega
+from ..models.dynamic_disk import DynamicDiskSystem, _recompute_stats
+from ..models.lifecycle import (
+    MAX_HOTSPOTS,
+    MAX_RT_SPIKES,
+    accumulate_entity_layer,
+    pack_filaments,
+    pack_timer_entities,
+)
+from ..ops import geodesic
+from ..ops.background import generate_background_components
+from ..ops.bloom import apply_bloom
+from ..ops.sampling import build_mipmaps, pack_quad_mips
+from ..pipeline import shade_frame
+from .frames import pack_cameras
+
+
+def pack_frame_params(
+    dynamic: DynamicDiskSystem, n_frames: int, dt: float
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Replay the lifecycle for all frames; pack per-frame entity params.
+
+    Returns (fil (F, MF, 8), hs (F, MH, 8), rt (F, MR, 8)) float32.
+    Mutates the dynamic system's factories (replay to frame n_frames-1).
+    """
+    fils, hss, rts = [], [], []
+    for frame in range(n_frames):
+        t = frame * dt
+        for fac in dynamic.factories.values():
+            fac.tick(now=t, dt=dt)
+        fils.append(pack_filaments(dynamic.factories["filament"], t))
+        hss.append(pack_timer_entities(dynamic.factories["hotspot"], t,
+                                       MAX_HOTSPOTS, 0.0))
+        rts.append(pack_timer_entities(dynamic.factories["rt_spike"], t,
+                                       MAX_RT_SPIKES, 1.0))
+    return (np.stack(fils), np.stack(hss), np.stack(rts))
+
+
+def build_sharded_video_renderer(
+    mesh: Mesh,
+    config: SceneConfig,
+    n_r: int,
+    n_phi: int,
+    *,
+    r_escape: float,
+    az_freq: float,
+    az_shear: float,
+    use_pallas: Optional[bool] = None,
+    mip_levels: int = 4,
+    tex_dtype=None,
+):
+    """Compile the sharded per-frame dynamic renderer.
+
+    Returns fn(skybox_q, cam_pack (F,14), t_arr (F,), fil, hs, rt)
+    -> (F, H, W, 3) final frames, frames sharded over the mesh's
+    "frames" axis (the "tile" axis must be 1 for video — pixel-split
+    makes sense for single huge frames, not throughput rendering).
+    """
+    width, height = config.image_size
+    cfg = config
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if tex_dtype is None:
+        tex_dtype = (
+            jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        )
+
+    r_norm = np.linspace(0.0, 1.0, n_r)
+    r_vals = cfg.disk_inner_radius + (
+        cfg.disk_outer_radius - cfg.disk_inner_radius
+    ) * r_norm
+    omega_rows = jnp.asarray(np.sqrt(0.5 / (r_vals**3 + 1e-6)), jnp.float32)
+    from ..utils.io import compute_edge_alpha
+
+    edge = jnp.asarray(compute_edge_alpha(n_r))
+
+    from ..constants import DISK_COLOR_TEMPERATURE
+
+    def render_block(skybox_q, cam_pack, t_arr, fil, hs, rt):
+        def one_frame(args):
+            cam, t, fil_p, hs_p, rt_p = args
+            # --- dynamic texture --------------------------------------
+            bg = generate_background_components(
+                n_r, n_phi, az_freq, az_shear,
+                float(cfg.disk_inner_radius), float(cfg.disk_outer_radius), t,
+            )
+            staging = accumulate_entity_layer(
+                fil_p, hs_p, rt_p, omega_rows, n_r, n_phi
+            )
+            comp = jnp.concatenate([bg[0:5], staging, bg[5:7]], axis=0)
+            p98, scale, row_stats = _recompute_stats(comp, edge)
+            tex = compose_from_components(
+                comp, omega_rows, edge, p98, scale, row_stats,
+                jnp.float32(0.0), True, jnp.float32(DISK_COLOR_TEMPERATURE),
+            )
+            mips = build_mipmaps(tex, levels=mip_levels)
+            num_levels = int(mips.shape[0])
+            qmips = pack_quad_mips(mips, num_levels).astype(tex_dtype)
+
+            # --- trace ------------------------------------------------
+            pos = cam[0:3]
+            trace_kwargs = dict(
+                h_base=float(cfg.step_size),
+                r_escape=float(r_escape),
+                tilt_deg=float(cfg.disk_tilt),
+                r_inner=float(cfg.disk_inner_radius),
+                r_outer=float(cfg.disk_outer_radius),
+                with_differentials=False,
+                max_crossings=MAX_DISK_CROSSINGS,
+                record_hits=True,
+            )
+            if use_pallas:
+                from ..ops.geodesic_pallas import trace_geodesics_pallas
+
+                trace = trace_geodesics_pallas(
+                    cam, width=width, height=height, **trace_kwargs
+                )
+            else:
+                dirs, ddx, ddy = geodesic.primary_rays_from_arrays(
+                    pos, cam[3:6], cam[6:9], cam[9:12], cam[12], cam[13],
+                    width, height,
+                )
+                trace = geodesic.trace_geodesics(
+                    pos, dirs, d_dir_dx0=ddx, d_dir_dy0=ddy, **trace_kwargs
+                )
+
+            # --- shade + lens stack -----------------------------------
+            bg_rgb, disk_rgb, _ = shade_frame(
+                trace, skybox_q, qmips, num_levels, pos,
+                r_inner=float(cfg.disk_inner_radius),
+                r_outer=float(cfg.disk_outer_radius),
+                tilt_deg=float(cfg.disk_tilt),
+                t_offset=jnp.float32(0.0),
+                use_lod=False,
+                aa_strength=float(cfg.aa_strength),
+            )
+            shape = (height, width, 3)
+            bg_img = bg_rgb.reshape(shape)
+            disk_img = disk_rgb.reshape(shape)
+            blur = apply_bloom(disk_img, width_ref=width)
+            return jnp.clip(bg_img + disk_img + blur, 0.0, 1.0)
+
+        return jax.lax.map(one_frame, (cam_pack, t_arr, fil, hs, rt))
+
+    sharded = shard_map(
+        render_block,
+        mesh=mesh,
+        in_specs=(P(), P("frames"), P("frames"), P("frames"), P("frames"),
+                  P("frames")),
+        out_specs=P("frames"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def render_video_frames_sharded(
+    config: SceneConfig,
+    mesh: Mesh,
+    frame_indices,
+    skybox_q: jnp.ndarray,
+    dynamic: DynamicDiskSystem,
+    all_fil: np.ndarray,
+    all_hs: np.ndarray,
+    all_rt: np.ndarray,
+    renderer_fn=None,
+) -> Tuple[np.ndarray, object]:
+    """Render one batch of frames (len divisible by the frames axis)."""
+    width, height = config.image_size
+    cams = []
+    for f in frame_indices:
+        if config.orbit:
+            pos = orbit_camera_position(
+                int(f), config.n_frames, config.orbit_degrees, config.pov
+            )
+        else:
+            pos = config.pov
+        cams.append(build_camera(pos, config.fov, width, height))
+    cam_pack = jnp.asarray(pack_cameras(cams))
+    t_arr = jnp.asarray(
+        [f * config.disk_rotation_speed for f in frame_indices], jnp.float32
+    )
+    idx = np.asarray(frame_indices)
+    if renderer_fn is None:
+        r_escape = max(
+            config.r_max,
+            2.0 * float(np.linalg.norm(np.asarray(config.pov))),
+        )
+        renderer_fn = build_sharded_video_renderer(
+            mesh, config, dynamic.n_r, dynamic.n_phi,
+            r_escape=r_escape, az_freq=dynamic.az_freq,
+            az_shear=dynamic.az_shear,
+        )
+    out = renderer_fn(
+        skybox_q, cam_pack, t_arr,
+        jnp.asarray(all_fil[idx]), jnp.asarray(all_hs[idx]),
+        jnp.asarray(all_rt[idx]),
+    )
+    return np.asarray(jax.device_get(out)), renderer_fn
+
+
+def render_video_sharded(config: SceneConfig) -> None:
+    """Full sharded video driver: batches of frames across the mesh with
+    the same resume protocol as the sequential path (modes.render_video).
+
+    Batch size = frames_axis * frames_per_device; progress.json is
+    updated after each completed batch, so interrupting loses at most
+    one batch.
+    """
+    import hashlib
+    import json
+    import os
+    import shutil
+    import time
+
+    from ..models.skybox import load_or_generate_skybox
+    from ..ops.sampling import pack_quad
+    from ..utils.io import AsyncPNGWriter
+    from .mesh import make_frame_mesh
+
+    width, height = config.image_size
+    devices = jax.devices()
+    n_shards = config.frame_shards or len(devices)
+    n_shards = min(n_shards, len(devices))
+    mesh = make_frame_mesh(n_shards, 1, devices=devices[:n_shards])
+    frames_per_device = 2 if n_shards > 1 else 4
+    batch = n_shards * frames_per_device
+
+    output_path = config.output
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    temp_dir = os.path.join(
+        os.path.dirname(output_path) or ".",
+        ".frames_" + hashlib.md5(output_path.encode()).hexdigest()[:16],
+    )
+    progress_file = os.path.join(temp_dir, "progress.json")
+    params = {
+        "n_frames": config.n_frames,
+        "fov": config.fov,
+        "orbit": config.orbit,
+        "disk_rotation_speed": config.disk_rotation_speed,
+        "orbit_degrees": config.orbit_degrees,
+        "width": width,
+        "height": height,
+        "sharded": True,
+    }
+
+    completed = set()
+    if config.resume and os.path.isdir(temp_dir) and os.path.isfile(progress_file):
+        saved = json.load(open(progress_file))
+        if saved.get("params", {}) != params:
+            print("Parameters changed; starting over")
+            shutil.rmtree(temp_dir)
+            os.makedirs(temp_dir, exist_ok=True)
+        else:
+            completed = set(saved.get("completed", []))
+            print(f"Resuming: {len(completed)}/{config.n_frames} frames done")
+    else:
+        if os.path.isdir(temp_dir) and not config.resume:
+            shutil.rmtree(temp_dir)
+        os.makedirs(temp_dir, exist_ok=True)
+
+    skybox, _, _ = load_or_generate_skybox(
+        config.texture, 2048, 1024, config.n_stars, seed=config.skybox_seed
+    )
+    tex_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    skybox_q = jax.jit(lambda t: pack_quad(t).astype(tex_dtype))(
+        jnp.asarray(skybox, jnp.float32)
+    )
+
+    n_phi, n_r = compute_disk_texture_resolution(
+        width, height, config.pov, config.fov,
+        config.disk_inner_radius, config.disk_outer_radius,
+    )
+    dynamic = DynamicDiskSystem(
+        n_r, n_phi, config.disk_inner_radius, config.disk_outer_radius,
+        seed=config.seed,
+    )
+    print(f"Packing lifecycle params for {config.n_frames} frames...")
+    t0 = time.time()
+    all_fil, all_hs, all_rt = pack_frame_params(
+        dynamic, config.n_frames, config.disk_rotation_speed
+    )
+    print(f"  packed in {time.time() - t0:.1f}s")
+
+    r_escape = max(
+        config.r_max, 2.0 * float(np.linalg.norm(np.asarray(config.pov)))
+    )
+    renderer_fn = build_sharded_video_renderer(
+        mesh, config, n_r, n_phi,
+        r_escape=r_escape, az_freq=dynamic.az_freq, az_shear=dynamic.az_shear,
+        tex_dtype=tex_dtype,
+    )
+
+    writer = AsyncPNGWriter(max_workers=4, max_pending=8)
+    total_t0 = time.time()
+    pending = [f for f in range(config.n_frames) if f not in completed]
+    # Pad the final batch by repeating the last frame (discarded on write).
+    n_batches = (len(pending) + batch - 1) // batch
+    for b in range(n_batches):
+        chunk = pending[b * batch : (b + 1) * batch]
+        idx = chunk + [chunk[-1]] * (batch - len(chunk))
+        frames, renderer_fn = render_video_frames_sharded(
+            config, mesh, idx, skybox_q, dynamic,
+            all_fil, all_hs, all_rt, renderer_fn,
+        )
+        for i, f in enumerate(chunk):
+            writer.submit(
+                frames[i], os.path.join(temp_dir, f"frame_{f:04d}.png")
+            )
+            completed.add(f)
+        with open(progress_file, "w") as fh:
+            json.dump({"params": params, "completed": sorted(completed)}, fh)
+        if (b + 1) % 10 == 0 or b == n_batches - 1:
+            done = len(completed)
+            rate = done / max(time.time() - total_t0, 1e-9)
+            print(f"batch {b + 1}/{n_batches} done {done}/{config.n_frames} "
+                  f"({rate:.2f} frames/s)")
+    writer.close()
+
+    print(f"All frames rendered in {(time.time() - total_t0) / 60:.1f} min")
+    from ..modes import _assemble_video
+
+    _assemble_video(temp_dir, output_path, config.n_frames, config.fps)
