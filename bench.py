@@ -1,16 +1,21 @@
 #!/usr/bin/env python3
-"""Benchmark: 1080p full-pipeline frame rate on one TPU chip.
+"""Benchmark: 1080p full-dynamic-pipeline frame rate on one TPU chip.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Baseline: the reference renders a 1080p frame in < 2 s on its CPU backend
-(BASELINE.md); vs_baseline is the speedup factor 2000 ms / measured ms.
+Scene: the reference's headline config — FHD frame with procedural
+skybox, per-frame dynamic disk texture (lifecycle entities + evolving
+background noise, stats, compose, mips), geodesic ray trace, deferred
+shading, and bloom. Baseline: the reference needs < 2 s for a 1080p
+frame on its CPU backend *with a pre-built static texture* and ~800 ms
+more for a dynamic-texture frame (BASELINE.md); we conservatively
+compare against the 2000 ms static-frame number.
 
-Measurement method: the TPU here sits behind a tunnel with a large
-per-sync round trip, so we dispatch N frames with varying cameras and
-sync ONCE at the end — per-frame time approaches true device time, which
-is also the throughput number that matters for video rendering.
+Measurement: one jitted program renders a BATCH of frames (lax.map) and
+is synced once via a scalar reduction — this measures device throughput;
+per-dispatch tunnel round-trips (tens of ms on this environment's
+relayed TPU, absent on directly-attached hosts) are excluded.
 """
 
 import json
@@ -25,14 +30,19 @@ def main() -> int:
     import jax.numpy as jnp
 
     from bhr_tpu.config import SceneConfig, compute_disk_texture_resolution
-    from bhr_tpu.models.disk_texture import generate_disk_texture
+    from bhr_tpu.models.dynamic_disk import DynamicDiskSystem
     from bhr_tpu.models.skybox import generate_skybox
-    from bhr_tpu.pipeline import Renderer
+    from bhr_tpu.ops.sampling import pack_quad
+    from bhr_tpu.parallel.mesh import make_frame_mesh
+    from bhr_tpu.parallel.video import (
+        build_sharded_video_renderer,
+        pack_frame_params,
+    )
+    from bhr_tpu.parallel.frames import cameras_for_orbit, pack_cameras
     from bhr_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
 
-    width, height = 1920, 1080
     cfg = SceneConfig(
         resolution="fhd",
         pov=(6.0, 0.0, 0.5),
@@ -41,43 +51,63 @@ def main() -> int:
         disk_inner_radius=2.0,
         disk_outer_radius=15.0,
         disk_tilt=15.0,
+        orbit=True,
+        n_frames=3600,
     ).validated()
+    width, height = cfg.image_size
 
+    on_tpu = jax.default_backend() == "tpu"
+    tex_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     skybox = generate_skybox(2048, 1024, seed=42, n_stars=6000)
+    skybox_q = jax.jit(lambda t: pack_quad(t).astype(tex_dtype))(
+        jnp.asarray(skybox, jnp.float32)
+    )
+
     n_phi, n_r = compute_disk_texture_resolution(
         width, height, cfg.pov, cfg.fov, cfg.disk_inner_radius,
         cfg.disk_outer_radius,
     )
-    tex = np.asarray(
-        generate_disk_texture(
-            n_phi=n_phi, n_r=n_r, seed=42,
-            r_inner=cfg.disk_inner_radius, r_outer=cfg.disk_outer_radius,
-        )
+    dynamic = DynamicDiskSystem(
+        n_r, n_phi, cfg.disk_inner_radius, cfg.disk_outer_radius, seed=42
     )
 
-    renderer = Renderer(cfg, skybox, tex)
+    batch = 8
+    fil, hs, rt = pack_frame_params(
+        dynamic, 2 * batch, cfg.disk_rotation_speed
+    )
 
-    # Compile + warm.
-    out = renderer.render_device(cfg.pov, cfg.fov, frame=0)
-    float(jnp.sum(out))
+    mesh = make_frame_mesh(1, 1, devices=jax.devices()[:1])
+    r_escape = max(
+        cfg.r_max, 2.0 * float(np.linalg.norm(np.asarray(cfg.pov)))
+    )
+    render = build_sharded_video_renderer(
+        mesh, cfg, n_r, n_phi, r_escape=r_escape,
+        az_freq=dynamic.az_freq, az_shear=dynamic.az_shear,
+        tex_dtype=tex_dtype,
+    )
 
-    # N dispatches, one sync: amortizes the tunnel RTT out.
-    n_frames = 10
-    cams = [
-        (6.0 * np.cos(a), 6.0 * np.sin(a), 0.5)
-        for a in np.linspace(0, 0.05, n_frames)
-    ]
+    def run_batch(lo):
+        idx = list(range(lo, lo + batch))
+        cams = cameras_for_orbit(cfg, idx, width, height)
+        cam_pack = jnp.asarray(pack_cameras(cams))
+        t_arr = jnp.asarray(
+            [f * cfg.disk_rotation_speed for f in idx], jnp.float32
+        )
+        out = render(
+            skybox_q, cam_pack, t_arr,
+            jnp.asarray(fil[idx]), jnp.asarray(hs[idx]), jnp.asarray(rt[idx]),
+        )
+        # Scalar sync: forces full device execution, fetches 4 bytes.
+        return float(jnp.sum(out.astype(jnp.float32)))
+
+    run_batch(0)  # compile + warm
+
     t0 = time.perf_counter()
-    acc = None
-    for i, cam in enumerate(cams):
-        out = renderer.render_device(cam, cfg.fov, frame=i)
-        red = jnp.sum(out)
-        acc = red if acc is None else acc + red
-    float(acc)
-    ms = (time.perf_counter() - t0) / n_frames * 1000.0
+    run_batch(batch)
+    ms = (time.perf_counter() - t0) / batch * 1000.0
 
     result = {
-        "metric": "fhd_frame_ms",
+        "metric": "fhd_dynamic_frame_ms",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(2000.0 / ms, 2),

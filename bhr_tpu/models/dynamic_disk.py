@@ -35,16 +35,21 @@ from .lifecycle import (
 )
 
 
-@functools.partial(jax.jit, static_argnames=("n_r", "n_phi", "enable_rt"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_r", "n_phi", "enable_rt", "generation_scale"),
+)
 def _dynamic_step(
     fil_params, hs_params, rt_params, omega_rows, edge,
     density_p98, struct_scale, row_stats,
     az_freq, az_shear, r_inner, r_outer, t,
     n_r: int, n_phi: int, enable_rt: bool, color_temp,
+    generation_scale: int = 2,
 ):
     """Full device step: comp field + composed RGBA texture at time t."""
     bg = generate_background_components(
-        n_r, n_phi, az_freq, az_shear, r_inner, r_outer, t
+        n_r, n_phi, az_freq, az_shear, r_inner, r_outer, t,
+        generation_scale=generation_scale,
     )
     staging = accumulate_entity_layer(
         fil_params, hs_params, rt_params, omega_rows, n_r, n_phi
@@ -63,25 +68,32 @@ def _dynamic_step(
 def _recompute_stats(comp, edge):
     """Normalization stats from the live comp field, with temp-base
     floors so sparse entity rows don't over-clamp the background
-    (reference recompute_interactive_stats, render.py:3655-3712)."""
+    (reference recompute_interactive_stats, render.py:3655-3712).
+
+    Quantiles are histogram-approximate (ops/stats.py): exact
+    jnp.percentile would sort ~1.2M texels per frame, which dominated
+    the dynamic-texture step on TPU.
+    """
+    from ..ops.stats import approx_quantile, approx_quantile_rows
+
     density = (
         0.15 + 0.10 * comp[1] + 0.30 * comp[3] + 0.20 * comp[9]
         + 0.30 * comp[5] + 0.20 * comp[7]
     ) * comp[12] * edge[:, None]
-    density_p98 = jnp.maximum(jnp.percentile(density, 98.0), 0.01)
+    density_p98 = jnp.maximum(approx_quantile(density, 0.98), 0.01)
 
     temp_struct = (comp[2] + comp[4] + comp[6] + comp[8] + comp[10]) * comp[12]
     pos = temp_struct > 0
     struct_scale = jnp.where(
         jnp.any(pos),
-        jnp.nanpercentile(jnp.where(pos, temp_struct, jnp.nan), 95.0),
+        approx_quantile(temp_struct, 0.95, mask=pos),
         1.0,
     )
     struct_scale = jnp.maximum(struct_scale, 0.01)
 
     ts_scaled = jnp.clip(temp_struct / (struct_scale + 1e-6) * 0.8, 0.0, 1.2)
     struct_max = jnp.max(ts_scaled, axis=1)
-    struct_p70 = jnp.quantile(ts_scaled, 0.7, axis=1)
+    struct_p70 = approx_quantile_rows(ts_scaled, 0.7, lo=0.0, hi=1.2)
 
     tb_max = jnp.max(comp[0], axis=1)
     struct_max = jnp.maximum(struct_max, tb_max)
@@ -116,9 +128,17 @@ class DynamicDiskSystem:
         seed: int = 42,
         enable_rt: bool = True,
         color_temp: Optional[float] = None,
+        generation_scale: int = 2,
     ):
         self.n_r = n_r
         self.n_phi = n_phi
+        # Low-res background generation + kron upscale, mirroring the
+        # reference's default generation_scale=2 (render.py:78-87); the
+        # texture sizing policy rounds to multiples of 16 so 2/4 divide.
+        self.generation_scale = (
+            generation_scale if (n_r % generation_scale == 0 and
+                                 n_phi % generation_scale == 0) else 1
+        )
         self.r_inner = float(r_inner)
         self.r_outer = float(r_outer)
         self.enable_rt = enable_rt
@@ -189,6 +209,7 @@ class DynamicDiskSystem:
             jnp.float32(t),
             self.n_r, self.n_phi, self.enable_rt,
             jnp.float32(self.color_temp),
+            generation_scale=self.generation_scale,
         )
         self.comp = comp
 

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 from .noise import fbm_3d, simplex_noise_3d
 
 
-@functools.partial(jax.jit, static_argnames=("n_r", "n_phi"))
+@functools.partial(
+    jax.jit, static_argnames=("n_r", "n_phi", "generation_scale")
+)
 def generate_background_components(
     n_r: int,
     n_phi: int,
@@ -30,16 +32,33 @@ def generate_background_components(
     r_inner,
     r_outer,
     t,
+    generation_scale: int = 1,
 ) -> jnp.ndarray:
     """Return a (7, n_r, n_phi) stack for comp indices [0,1,2,3,4,11,12].
 
     Order in the output stack: [temp_base, spiral(0), spiral_temp(0),
     turbulence, turb_temp, az_hotspot, disturb_mod].
+
+    ``generation_scale`` > 1 evaluates the noise on an (n_r/s, n_phi/s)
+    grid and kron-upscales — the same low-res optimization the
+    reference applies to its texture generators (render.py:78-87); the
+    ~42 simplex evaluations per texel are the dominant per-frame
+    texture cost at scale 1.
     """
-    r = jnp.arange(n_r, dtype=jnp.float32)[:, None] / n_r
-    phi = jnp.arange(n_phi, dtype=jnp.float32)[None, :] / n_phi * (2.0 * jnp.pi)
-    r = jnp.broadcast_to(r, (n_r, n_phi))
-    phi = jnp.broadcast_to(phi, (n_r, n_phi))
+    if n_r % generation_scale or n_phi % generation_scale:
+        raise ValueError(
+            f"texture size ({n_r}, {n_phi}) must be divisible by "
+            f"generation_scale {generation_scale}"
+        )
+    gr, gp = n_r // generation_scale, n_phi // generation_scale
+    r = jnp.arange(gr, dtype=jnp.float32)[:, None] * generation_scale / n_r
+    phi = (
+        jnp.arange(gp, dtype=jnp.float32)[None, :]
+        * generation_scale / n_phi * (2.0 * jnp.pi)
+    )
+    r = jnp.broadcast_to(r, (gr, gp))
+    phi = jnp.broadcast_to(phi, (gr, gp))
+    n_r, n_phi = gr, gp  # noise evaluates on the coarse grid below
 
     r_phys = r_inner + (r_outer - r_inner) * r
     omega = jnp.sqrt(0.5 / (r_phys**3 + 1e-6))
@@ -85,10 +104,16 @@ def generate_background_components(
     disturb = jnp.clip((d_coarse + d_mid + d_fine + d_extra + d_pixel) * 1.4, 0.05, 1.0)
     disturb = jnp.clip(disturb * (0.6 + 0.4 * r), 0.1, 1.0)
 
-    return jnp.stack(
+    stack = jnp.stack(
         [temp_base, zeros, zeros, turb, 0.05 * turb, az_hotspot, disturb],
         axis=0,
     )
+    if generation_scale > 1:
+        stack = jnp.repeat(
+            jnp.repeat(stack, generation_scale, axis=1),
+            generation_scale, axis=2,
+        )
+    return stack
 
 
 def write_background_into_comp(comp: jnp.ndarray, bg: jnp.ndarray) -> jnp.ndarray:

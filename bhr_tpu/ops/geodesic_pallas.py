@@ -114,6 +114,7 @@ def build_ray_march_kernel(
         else int(r_escape * 40.0 / h_base)
     )
     k_slots = max_crossings
+    n_feat = HIT_FEATURES if with_differentials else 6
 
     pad_h = -height % block_rows
     pad_w = -width % block_cols
@@ -189,7 +190,7 @@ def build_ray_march_kernel(
             jnp.zeros(shape, jnp.float32),  # 9 escaped
             (zeros, zeros, zeros),     # 10 escape_dir
             jnp.zeros(shape, jnp.int32),  # 11 hit_count
-            jnp.zeros((k_slots, HIT_FEATURES) + shape, jnp.float32),  # 12 hits
+            jnp.zeros((k_slots, n_feat) + shape, jnp.float32),  # 12 hits
             jnp.int32(0),              # 13 step
         )
 
@@ -322,14 +323,19 @@ def build_ray_march_kernel(
                 hqy = odqy + t_frac * (ndp_dy[1] - odqy)
                 hqz = odqz + t_frac * (ndp_dy[2] - odqz)
 
-                feats = jnp.stack(
-                    [hx, hy, vx, vy, vz, hdx, hdy, hdz, hqx, hqy, hqz, t_frac],
-                    axis=0,
-                )  # (HIT_FEATURES, BR, BC)
+                if with_differentials:
+                    feat_list = [hx, hy, vx, vy, vz, hdx, hdy, hdz,
+                                 hqx, hqy, hqz, t_frac]
+                else:
+                    # Slim feature set: the differential planes are all
+                    # zero without AA — carrying them would double the
+                    # per-step select cost for nothing.
+                    feat_list = [hx, hy, vx, vy, vz, t_frac]
+                feats = jnp.stack(feat_list, axis=0)  # (n_feat, BR, BC)
 
-                # Static-slice selects (scatter is not lowerable here;
-                # a lax.cond guard also fails to legalize with this many
-                # vector yields, and the selects are cheap VPU work).
+                # Static-slice selects (scatter/ref-RMW both lower worse:
+                # disk tiles cross on most steps, so predication does not
+                # pay and register-resident selects win).
                 slots = []
                 for k in range(k_slots):
                     mask_k = record & (hit_count == k)
@@ -363,7 +369,16 @@ def build_ray_march_kernel(
         escaped_ref[:, :] = final[9]
         escdir_ref[0], escdir_ref[1], escdir_ref[2] = final[10]
         count_ref[:, :] = final[11]
-        hits_ref[:, :, :, :] = final[12]
+        hits = final[12]
+        if with_differentials:
+            hits_ref[:, :, :, :] = hits
+        else:
+            # Expand slim features to the full 12-feature output layout:
+            # [hx, hy, vx, vy, vz, 0 x6 (diffs), t_frac].
+            zeros6 = jnp.zeros((k_slots, 6) + shape, jnp.float32)
+            hits_ref[:, 0:5] = hits[:, 0:5]
+            hits_ref[:, 5:11] = zeros6
+            hits_ref[:, 11:12] = hits[:, 5:6]
 
     out_shapes = (
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),  # captured

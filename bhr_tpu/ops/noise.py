@@ -6,6 +6,11 @@ device simplex/FBM (render.py:2639-2785). RNG uses jax.random keys —
 determinism-by-seed is preserved, but streams differ from NumPy, so
 parity with the reference is statistical, not bitwise (SURVEY.md §7
 "RNG parity").
+
+TPU note: the classic simplex permutation table (reference
+render.py:2269-2288) is replaced by a computational integer hash —
+chained table lookups lower to gathers, and at texture scale the
+background generator would issue billions of them per frame.
 """
 
 from __future__ import annotations
@@ -16,29 +21,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-# Ken Perlin's standard 256-entry permutation (public domain), doubled to
-# avoid index wrapping — same table the reference uploads to its device
-# field (render.py:2269-2288).
-_PERM_256 = (
-    151, 160, 137, 91, 90, 15, 131, 13, 201, 95, 96, 53, 194, 233, 7, 225,
-    140, 36, 103, 30, 69, 142, 8, 99, 37, 240, 21, 10, 23, 190, 6, 148,
-    247, 120, 234, 75, 0, 26, 197, 62, 94, 252, 219, 203, 117, 35, 11, 32,
-    57, 177, 33, 88, 237, 149, 56, 87, 174, 20, 125, 136, 171, 168, 68, 175,
-    74, 165, 71, 134, 139, 48, 27, 166, 77, 146, 158, 231, 83, 111, 229, 122,
-    60, 211, 133, 230, 220, 105, 92, 41, 55, 46, 245, 40, 244, 102, 143, 54,
-    65, 25, 63, 161, 1, 216, 80, 73, 209, 76, 132, 187, 208, 89, 18, 169,
-    200, 196, 135, 130, 116, 188, 159, 86, 164, 100, 109, 198, 173, 186, 3, 64,
-    52, 217, 226, 250, 124, 123, 5, 202, 38, 147, 118, 126, 255, 82, 85, 212,
-    207, 206, 59, 227, 47, 16, 58, 17, 182, 189, 28, 42, 223, 183, 170, 213,
-    119, 248, 152, 2, 44, 154, 163, 70, 221, 153, 101, 155, 167, 43, 172, 9,
-    129, 22, 39, 253, 19, 98, 108, 110, 79, 113, 224, 232, 178, 185, 112, 104,
-    218, 246, 97, 228, 251, 34, 242, 193, 238, 210, 144, 12, 191, 179, 162, 241,
-    81, 51, 145, 235, 249, 14, 239, 107, 49, 192, 214, 31, 181, 199, 106, 157,
-    184, 84, 204, 176, 115, 121, 50, 45, 127, 4, 150, 254, 138, 236, 205, 93,
-    222, 114, 67, 29, 24, 72, 243, 141, 128, 195, 78, 66, 215, 61, 156, 180,
-)
-
-PERM = jnp.asarray(_PERM_256 + _PERM_256, dtype=jnp.int32)
 
 
 def _grad3_dot(h, x, y, z):
@@ -51,6 +33,27 @@ def _grad3_dot(h, x, y, z):
     r1 = jnp.where(h & 1 == 0, u, -u)
     r2 = jnp.where(h & 2 == 0, v, -v)
     return r1 + r2
+
+
+def _hash3(i, j, k):
+    """Computational lattice hash (int32 multiply-xorshift mix).
+
+    Replaces the classic chained permutation-table lookups
+    (PERM[i + PERM[j + PERM[k]]]) — on TPU each table lookup is a
+    gather, and simplex evaluates 4 corners x 3 chained lookups per
+    sample; at texture scale that is billions of gathers per frame. The
+    mix below is pure VPU integer ALU with equivalent statistical
+    quality (different stream: visual parity is statistical, not
+    bitwise, per SURVEY.md RNG-parity note).
+    """
+    h = (
+        i * jnp.int32(374761393)
+        + j * jnp.int32(668265263)
+        + k * jnp.int32(1440662683)
+    )
+    h = (h ^ (h >> 13)) * jnp.int32(1274126177)
+    h = h ^ (h >> 16)
+    return h & jnp.int32(0x7FFFFFFF)
 
 
 def simplex_noise_3d(x, y, z):
@@ -106,13 +109,10 @@ def simplex_noise_3d(x, y, z):
     y3 = y0 - 1.0 + 3.0 * g3
     z3 = z0 - 1.0 + 3.0 * g3
 
-    ii = i & 255
-    jj = j & 255
-    kk = k & 255
-    gi0 = PERM[ii + PERM[jj + PERM[kk]]]
-    gi1 = PERM[ii + i1 + PERM[jj + j1 + PERM[kk + k1]]]
-    gi2 = PERM[ii + i2 + PERM[jj + j2 + PERM[kk + k2]]]
-    gi3 = PERM[ii + 1 + PERM[jj + 1 + PERM[kk + 1]]]
+    gi0 = _hash3(i, j, k)
+    gi1 = _hash3(i + i1, j + j1, k + k1)
+    gi2 = _hash3(i + i2, j + j2, k + k2)
+    gi3 = _hash3(i + 1, j + 1, k + 1)
 
     def corner(t, gi, cx, cy, cz):
         t = jnp.maximum(t, 0.0)

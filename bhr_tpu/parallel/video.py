@@ -86,6 +86,7 @@ def build_sharded_video_renderer(
     use_pallas: Optional[bool] = None,
     mip_levels: int = 4,
     tex_dtype=None,
+    generation_scale: int = 2,
 ):
     """Compile the sharded per-frame dynamic renderer.
 
@@ -96,6 +97,8 @@ def build_sharded_video_renderer(
     """
     width, height = config.image_size
     cfg = config
+    if n_r % generation_scale or n_phi % generation_scale:
+        generation_scale = 1
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if tex_dtype is None:
@@ -121,6 +124,7 @@ def build_sharded_video_renderer(
             bg = generate_background_components(
                 n_r, n_phi, az_freq, az_shear,
                 float(cfg.disk_inner_radius), float(cfg.disk_outer_radius), t,
+                generation_scale=generation_scale,
             )
             staging = accumulate_entity_layer(
                 fil_p, hs_p, rt_p, omega_rows, n_r, n_phi
@@ -176,7 +180,10 @@ def build_sharded_video_renderer(
             bg_img = bg_rgb.reshape(shape)
             disk_img = disk_rgb.reshape(shape)
             blur = apply_bloom(disk_img, width_ref=width)
-            return jnp.clip(bg_img + disk_img + blur, 0.0, 1.0)
+            final = jnp.clip(bg_img + disk_img + blur, 0.0, 1.0)
+            # uint8 on device: quarters the host-fetch bytes (PNG
+            # encoding wants uint8 anyway).
+            return jnp.round(final * 255.0).astype(jnp.uint8)
 
         return jax.lax.map(one_frame, (cam_pack, t_arr, fil, hs, rt))
 

@@ -43,11 +43,14 @@ def load_disk_texture(path: Optional[str]) -> Optional[np.ndarray]:
 
 
 def save_image(image: np.ndarray, path: str) -> None:
-    """Save an (H, W, 3) float image in [0, 1] as PNG."""
+    """Save an (H, W, 3) image as PNG (float in [0, 1] or uint8)."""
     from PIL import Image
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    img_uint8 = (np.clip(image, 0.0, 1.0) * 255.0).astype(np.uint8)
+    if image.dtype == np.uint8:
+        img_uint8 = image
+    else:
+        img_uint8 = (np.clip(image, 0.0, 1.0) * 255.0).astype(np.uint8)
     Image.fromarray(img_uint8, "RGB").save(path)
 
 

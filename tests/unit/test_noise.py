@@ -5,7 +5,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from bhr_tpu.ops.noise import (
-    _PERM_256,
     fbm_3d,
     fbm_noise,
     periodic_pixel_noise,
@@ -14,9 +13,23 @@ from bhr_tpu.ops.noise import (
 )
 
 
+def _hash3_oracle(i, j, k):
+    """Scalar twin of ops.noise._hash3 (int32 two's-complement wrap,
+    arithmetic right shift)."""
+
+    def i32(x):
+        x &= 0xFFFFFFFF
+        return x - 0x100000000 if x >= 0x80000000 else x
+
+    h = i32(i * 374761393 + j * 668265263 + k * 1440662683)
+    h = i32((h ^ (h >> 13)) * 1274126177)
+    h = i32(h ^ (h >> 16))
+    return h & 0x7FFFFFFF
+
+
 def _simplex_oracle(x, y, z):
-    """Independent scalar NumPy implementation of Gustavson 3D simplex."""
-    perm = np.array(_PERM_256 + _PERM_256)
+    """Independent scalar NumPy implementation of Gustavson 3D simplex
+    with the computational lattice hash."""
 
     def grad(h, x, y, z):
         h = h % 12
@@ -49,11 +62,10 @@ def _simplex_oracle(x, y, z):
     x2, y2, z2 = x0 - i2 + 2 * g3, y0 - j2 + 2 * g3, z0 - k2 + 2 * g3
     x3, y3, z3 = x0 - 1 + 3 * g3, y0 - 1 + 3 * g3, z0 - 1 + 3 * g3
 
-    ii, jj, kk = i & 255, j & 255, k & 255
-    gi0 = perm[ii + perm[jj + perm[kk]]]
-    gi1 = perm[ii + i1 + perm[jj + j1 + perm[kk + k1]]]
-    gi2 = perm[ii + i2 + perm[jj + j2 + perm[kk + k2]]]
-    gi3 = perm[ii + 1 + perm[jj + 1 + perm[kk + 1]]]
+    gi0 = _hash3_oracle(i, j, k)
+    gi1 = _hash3_oracle(i + i1, j + j1, k + k1)
+    gi2 = _hash3_oracle(i + i2, j + j2, k + k2)
+    gi3 = _hash3_oracle(i + 1, j + 1, k + 1)
 
     n = 0.0
     for (t0, gi, cx, cy, cz) in [
