@@ -85,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keyframes_count", type=int, default=10,
                    help="[deprecated]")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax debug_nans (traps NaN/Inf in any "
+                        "compiled computation)")
+    p.add_argument("--compile_cache", action="store_true",
+                   help="enable the persistent XLA compilation cache")
     return p
 
 
@@ -128,10 +133,16 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     config = config_from_args(args)
 
-    if config.device != "auto":
-        import jax
+    import jax
 
+    if config.device != "auto":
         jax.config.update("jax_platforms", config.device)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if args.compile_cache:
+        from .utils.cache import enable_compile_cache
+
+        enable_compile_cache()
 
     if config.interactive:
         from .interactive import run_interactive
