@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .fastmath import fast_arccos, fast_atan2
+
 TWO_PI = 2.0 * jnp.pi
 
 
@@ -87,11 +89,15 @@ def _bilinear_quad_gather(
 
 
 def sample_skybox_quad(qtexture: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
-    """Equirect skybox sample from a quad-packed (H, W, 12) texture."""
+    """Equirect skybox sample from a quad-packed (H, W, 12) texture.
+
+    Uses fast polynomial trig (ops/fastmath.py): the per-ray
+    arccos/atan2 dominated the shading pass at exact precision.
+    """
     tex_h, tex_w = qtexture.shape[0], qtexture.shape[1]
     x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
-    theta = jnp.arccos(jnp.clip(z, -1.0, 1.0))
-    phi = jnp.arctan2(y, x)
+    theta = fast_arccos(z)
+    phi = fast_atan2(y, x)
     phi = jnp.where(phi < 0, phi + TWO_PI, phi)
     u = phi / TWO_PI * tex_w
     v = theta / jnp.pi * tex_h
@@ -108,7 +114,7 @@ def sample_disk_quad(
 ) -> jnp.ndarray:
     """Disk RGBA sample from a quad-packed (n_r, n_phi, 16) texture."""
     u, v = _disk_uv(hit_x, hit_y, r_inner, r_outer, t_offset,
-                    qtex.shape[1], qtex.shape[0])
+                    qtex.shape[1], qtex.shape[0], fast_trig=True)
     return _bilinear_quad_gather(qtex, u, v, 4)
 
 
@@ -145,7 +151,7 @@ def sample_disk_mip_quad(
     """Mip-LOD sample from a quad-packed pyramid (one gather per sample)."""
     base_h, base_w = qmips.shape[1], qmips.shape[2]
     r = jnp.sqrt(hit_x**2 + hit_y**2)
-    phi = jnp.arctan2(hit_y, hit_x)
+    phi = fast_atan2(hit_y, hit_x)
     r_safe = jnp.maximum(r, 1e-3)
     omega = jnp.sqrt(0.5 / (r_safe**3 + 1e-6))
     phi = jnp.mod(phi + t_offset * omega, TWO_PI)
@@ -203,10 +209,11 @@ def _disk_uv(
     t_offset: float,
     tex_w: int,
     tex_h: int,
+    fast_trig: bool = False,
 ):
     """Polar texture coordinates for a disk-plane hit, with Keplerian spin."""
     r = jnp.sqrt(hit_x**2 + hit_y**2)
-    phi = jnp.arctan2(hit_y, hit_x)
+    phi = fast_atan2(hit_y, hit_x) if fast_trig else jnp.arctan2(hit_y, hit_x)
     r_safe = jnp.maximum(r, 1e-3)
     omega = jnp.sqrt(0.5 / (r_safe**3 + 1e-6))
     phi = jnp.mod(phi + t_offset * omega, TWO_PI)

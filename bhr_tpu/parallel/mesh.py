@@ -17,6 +17,34 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize jax.distributed for multi-host rendering over DCN.
+
+    On single-host runs this is a no-op returning 1. On a pod slice (or
+    a CPU fleet), call before any jax API with the coordinator address;
+    afterwards `jax.devices()` spans all hosts and `make_frame_mesh`
+    builds a global mesh — frame sharding needs no collectives, so
+    cross-host traffic is zero during rendering (only the final PNG
+    gather, which each host writes locally anyway).
+
+    Returns the process count.
+    """
+    import jax
+
+    if coordinator_address is None:
+        return 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count()
+
+
 def make_frame_mesh(
     n_frames_axis: Optional[int] = None,
     n_tile_axis: int = 1,

@@ -147,23 +147,51 @@ def test_quad_pack_matches_four_gather():
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
 
-    # skybox quad vs classic
+    # Quad samplers use fast polynomial trig (~1e-4 rad coordinate
+    # error), so parity with the exact-trig classic samplers is checked
+    # on SMOOTH textures where a sub-0.1-texel coordinate shift maps to
+    # a small value difference.
+    yy, xx = np.meshgrid(np.linspace(0, 1, 64), np.linspace(0, 1, 16),
+                         indexing="ij")
+    smooth_sky = np.stack([yy, xx, 0.5 * (xx + yy)], -1).astype(np.float32).reshape(64, 16, 3).transpose(1, 0, 2)
+    smooth_sky = np.ascontiguousarray(smooth_sky)
+    qs = pack_quad(jnp.asarray(smooth_sky))
     dirs = rng.normal(size=(200, 3)).astype(np.float32)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    a = np.asarray(sample_skybox_quad(q, jnp.asarray(dirs)))
-    b = np.asarray(sample_skybox(jnp.asarray(tex), jnp.asarray(dirs)))
-    np.testing.assert_allclose(a, b, atol=1e-5)
+    a = np.asarray(sample_skybox_quad(qs, jnp.asarray(dirs)))
+    b = np.asarray(sample_skybox(jnp.asarray(smooth_sky), jnp.asarray(dirs)))
+    np.testing.assert_allclose(a, b, atol=3e-3)
 
-    # disk quad vs classic + mip quad vs classic
-    dtex = rng.random((16, 64, 4)).astype(np.float32)
+    # disk quad vs classic + mip quad vs classic on a smooth texture
+    gy, gx = np.meshgrid(np.linspace(0, 1, 64), np.linspace(0, 1, 16),
+                         indexing="xy")
+    dtex = np.stack([gx, gy, gx * gy, 0.5 + 0.5 * gx], -1).astype(np.float32)
     mips = build_mipmaps(jnp.asarray(dtex), levels=2)
     qmips = pack_quad_mips(mips, 3)
     hx = rng.uniform(-4, 4, 200).astype(np.float32)
     hy = rng.uniform(-4, 4, 200).astype(np.float32)
     a = np.asarray(sample_disk_quad(qmips[0][..., :16], jnp.asarray(hx), jnp.asarray(hy), 2.0, 4.0, 0.3))
     b = np.asarray(sample_disk(jnp.asarray(dtex), jnp.asarray(hx), jnp.asarray(hy), 2.0, 4.0, 0.3))
-    np.testing.assert_allclose(a, b, atol=1e-5)
+    np.testing.assert_allclose(a, b, atol=5e-3)
     lod = jnp.asarray(rng.uniform(0, 2.4, 200).astype(np.float32))
     a = np.asarray(sample_disk_mip_quad(qmips, 3, jnp.asarray(hx), jnp.asarray(hy), 2.0, 4.0, 0.3, lod))
     b = np.asarray(sample_disk_mip(mips, 3, jnp.asarray(hx), jnp.asarray(hy), 2.0, 4.0, 0.3, lod))
-    np.testing.assert_allclose(a, b, atol=1e-5)
+    np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_fast_trig_accuracy():
+    """Polynomial atan2/arccos within 2e-4 rad of exact over the circle."""
+    from bhr_tpu.ops.fastmath import fast_arccos, fast_atan2
+
+    rng = np.random.default_rng(9)
+    y = rng.normal(size=5000).astype(np.float32)
+    x = rng.normal(size=5000).astype(np.float32)
+    got = np.asarray(fast_atan2(jnp.asarray(y), jnp.asarray(x)))
+    want = np.arctan2(y, x)
+    err = np.abs(got - want)
+    err = np.minimum(err, 2 * np.pi - err)  # wrap at the +-pi seam
+    assert err.max() < 2e-4, err.max()
+
+    z = rng.uniform(-1, 1, 5000).astype(np.float32)
+    got = np.asarray(fast_arccos(jnp.asarray(z)))
+    assert np.abs(got - np.arccos(z)).max() < 3e-4
