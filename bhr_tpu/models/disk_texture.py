@@ -676,10 +676,18 @@ def compose_from_components(
     (render.py:3169-3259), one fused gather+math program here.
     """
     n_r, n_phi = comp.shape[1], comp.shape[2]
-    shift = (t_offset * omega_rows / (2.0 * jnp.pi) * n_phi).astype(jnp.int32)
-    cols = jnp.arange(n_phi)[None, :]
-    src = jnp.mod(cols + shift[:, None], n_phi)  # (n_r, n_phi)
-    rolled = jnp.take_along_axis(comp, src[None], axis=2)  # (13, n_r, n_phi)
+    if isinstance(t_offset, (int, float)) and float(t_offset) == 0.0:
+        # Identity roll: skip the 13 x n_r x n_phi gather. The dynamic
+        # lifecycle path always composes at t=0 (rotation lives in the
+        # background's rotating coordinates + entity phases).
+        rolled = comp
+    else:
+        shift = (
+            t_offset * omega_rows / (2.0 * jnp.pi) * n_phi
+        ).astype(jnp.int32)
+        cols = jnp.arange(n_phi)[None, :]
+        src = jnp.mod(cols + shift[:, None], n_phi)  # (n_r, n_phi)
+        rolled = jnp.take_along_axis(comp, src[None], axis=2)
 
     rt_w = 0.20 if enable_rt else 0.0
     density = (

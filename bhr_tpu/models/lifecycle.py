@@ -321,7 +321,9 @@ def pack_timer_entities(factory: EntityFactory, now: float, max_count: int,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n_r", "n_phi"))
+@functools.partial(
+    jax.jit, static_argnames=("n_r", "n_phi", "phi_scale")
+)
 def accumulate_entity_layer(
     fil_params: jnp.ndarray,
     hs_params: jnp.ndarray,
@@ -329,6 +331,7 @@ def accumulate_entity_layer(
     omega_rows: jnp.ndarray,
     n_r: int,
     n_phi: int,
+    phi_scale: int = 1,
 ) -> jnp.ndarray:
     """Evaluate all alive entities -> staging (6, n_r, n_phi).
 
@@ -340,14 +343,22 @@ def accumulate_entity_layer(
     Each entity's azimuthal center advects by -omega(r) * age per row
     (differential shear for free); profiles are evaluated analytically
     in chunks over the padded entity axis.
+
+    ``phi_scale`` (1, 2 or 4) evaluates entities on an n_phi/phi_scale
+    azimuthal grid and linearly upsamples — the reference's low-res
+    generation-scale optimization (render.py:78-87) applied to the
+    entity layer. Entity phi widths span many texels at production
+    resolutions, so the interpolation error is far below the profiles'
+    own smoothness.
     """
-    phi = jnp.linspace(0.0, 2.0 * jnp.pi, n_phi, endpoint=False)
+    n_phi_lo = n_phi // phi_scale if n_phi % phi_scale == 0 else n_phi
+    phi = jnp.linspace(0.0, 2.0 * jnp.pi, n_phi_lo, endpoint=False)
     r_norm = jnp.linspace(0.0, 1.0, n_r)
     two_pi = 2.0 * jnp.pi
 
     def filament_planes(params, chunk=32):
-        dens = jnp.zeros((n_r, n_phi))
-        temp = jnp.zeros((n_r, n_phi))
+        dens = jnp.zeros((n_r, n_phi_lo))
+        temp = jnp.zeros((n_r, n_phi_lo))
         m = params.shape[0]
         for c0 in range(0, m, chunk):
             p = params[c0 : c0 + chunk]
@@ -369,8 +380,8 @@ def accumulate_entity_layer(
         return dens, temp
 
     def timer_planes(params, is_rt: bool, chunk=16):
-        dens = jnp.zeros((n_r, n_phi))
-        temp = jnp.zeros((n_r, n_phi))
+        dens = jnp.zeros((n_r, n_phi_lo))
+        temp = jnp.zeros((n_r, n_phi_lo))
         m = params.shape[0]
         for c0 in range(0, m, chunk):
             p = params[c0 : c0 + chunk]
@@ -398,4 +409,13 @@ def accumulate_entity_layer(
     fil_d, fil_t = filament_planes(fil_params)
     rt_d, rt_t = timer_planes(rt_params, is_rt=True)
     hs_d, hs_t = timer_planes(hs_params, is_rt=False)
-    return jnp.stack([fil_d, fil_t, rt_d, rt_t, hs_d, hs_t], axis=0)
+    staging = jnp.stack([fil_d, fil_t, rt_d, rt_t, hs_d, hs_t], axis=0)
+    if n_phi_lo != n_phi:
+        # Linear upsample along phi (periodic): lerp between each
+        # low-res column and its wrapped neighbor.
+        nxt = jnp.roll(staging, -1, axis=2)
+        f = phi_scale
+        w = jnp.arange(f, dtype=staging.dtype)[None, None, None, :] / f
+        fine = staging[..., None] * (1.0 - w) + nxt[..., None] * w
+        staging = fine.reshape(staging.shape[0], n_r, n_phi)
+    return staging

@@ -188,14 +188,13 @@ def build_ray_march_kernel(
             # loop carries fail to legalize in Mosaic)
             jnp.zeros(shape, jnp.float32),  # 8 captured
             jnp.zeros(shape, jnp.float32),  # 9 escaped
-            (zeros, zeros, zeros),     # 10 escape_dir
-            jnp.zeros(shape, jnp.int32),  # 11 hit_count
-            jnp.zeros((k_slots, n_feat) + shape, jnp.float32),  # 12 hits
-            jnp.int32(0),              # 13 step
+            jnp.zeros(shape, jnp.int32),  # 10 hit_count
+            jnp.zeros((k_slots, n_feat) + shape, jnp.float32),  # 11 hits
+            jnp.int32(0),              # 12 step
         )
 
         def cond(s):
-            return jnp.logical_and(s[13] < max_iter, jnp.max(s[7]) > 0.5)
+            return jnp.logical_and(s[12] < max_iter, jnp.max(s[7]) > 0.5)
 
         def body(s):
             (px, py, pz) = s[0]
@@ -289,16 +288,8 @@ def build_ray_march_kernel(
             terminated = captured_now | escaped_now
             survive = active & (~terminated)
 
-            ex, ey, ez = _normalize3(nvx, nvy, nvz)
-            (oex, oey, oez) = s[10]
-            esc_dir = (
-                jnp.where(escaped_now, ex, oex),
-                jnp.where(escaped_now, ey, oey),
-                jnp.where(escaped_now, ez, oez),
-            )
-
-            hit_count = s[11]
-            hits = s[12]
+            hit_count = s[10]
+            hits = s[11]
             if record_hits:
                 f_old = pz - py * tan_t
                 f_new = npz - npy * tan_t
@@ -333,9 +324,9 @@ def build_ray_march_kernel(
                     feat_list = [hx, hy, vx, vy, vz, t_frac]
                 feats = jnp.stack(feat_list, axis=0)  # (n_feat, BR, BC)
 
-                # Static-slice selects (scatter/ref-RMW both lower worse:
-                # disk tiles cross on most steps, so predication does not
-                # pay and register-resident selects win).
+                # Static-slice selects (scatter/ref-RMW both lower
+                # worse; a tile-level lax.cond guard was also measured
+                # slower — the branch stalls Mosaic's loop pipeline).
                 slots = []
                 for k in range(k_slots):
                     mask_k = record & (hit_count == k)
@@ -346,9 +337,16 @@ def build_ray_march_kernel(
             def sel(new, old):
                 return jnp.where(survive, new, old)
 
+            # Direction commits on the terminating step too (mask =
+            # active, not survive): the frozen final direction of an
+            # escaped ray IS its escape direction, normalized once after
+            # the loop — saving a normalize + 3 selects per step.
+            def sel_a(new, old):
+                return jnp.where(active, new, old)
+
             return (
                 (sel(npx, px), sel(npy, py), sel(npz, pz)),
-                (sel(nvx, vx), sel(nvy, vy), sel(nvz, vz)),
+                (sel_a(nvx, vx), sel_a(nvy, vy), sel_a(nvz, vz)),
                 tuple(sel(n, o) for n, o in zip(ndp_dx, s[2])),
                 tuple(sel(n, o) for n, o in zip(ndd_dx, s[3])),
                 tuple(sel(n, o) for n, o in zip(ndp_dy, s[4])),
@@ -357,19 +355,24 @@ def build_ray_march_kernel(
                 survive.astype(jnp.float32),
                 jnp.maximum(s[8], captured_now.astype(jnp.float32)),
                 jnp.maximum(s[9], escaped_now.astype(jnp.float32)),
-                esc_dir,
                 hit_count,
                 hits,
-                s[13] + 1,
+                s[12] + 1,
             )
 
         final = jax.lax.while_loop(cond, body, state)
 
         captured_ref[:, :] = final[8]
         escaped_ref[:, :] = final[9]
-        escdir_ref[0], escdir_ref[1], escdir_ref[2] = final[10]
-        count_ref[:, :] = final[11]
-        hits = final[12]
+        fvx, fvy, fvz = final[1]
+        ex, ey, ez = _normalize3(fvx, fvy, fvz)
+        esc_mask = final[9]  # 1.0 where escaped; zero elsewhere to match
+        # the pure-JAX path's zero-initialized escape_dir exactly.
+        escdir_ref[0] = ex * esc_mask
+        escdir_ref[1] = ey * esc_mask
+        escdir_ref[2] = ez * esc_mask
+        count_ref[:, :] = final[10]
+        hits = final[11]
         if with_differentials:
             hits_ref[:, :, :, :] = hits
         else:

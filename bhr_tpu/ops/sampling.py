@@ -64,6 +64,39 @@ def pack_quad(tex: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([tex, right, down, down_right], axis=-1)
 
 
+def encode_quad_u8(qtex: jnp.ndarray) -> jnp.ndarray:
+    """Gamma-2 (sqrt) uint8 encoding of a quad-packed [0, 1] texture.
+
+    TPU gathers are fetch-size bound per index: uint8 halves the row
+    bytes vs bf16 (e.g. a 16-channel disk quad drops 32B -> 16B). The
+    sqrt transfer allocates codes by perceptual density — worst-case
+    absolute error at v is ~2*sqrt(v)/255 (6e-4 near black), well below
+    the 8-bit PNG output quantile.
+    """
+    return jnp.round(
+        jnp.sqrt(jnp.clip(qtex, 0.0, 1.0)) * 255.0
+    ).astype(jnp.uint8)
+
+
+def quantize_packed(qtex: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Convert a quad-packed f32 texture to its storage dtype.
+
+    uint8 selects the gamma-2 encoding (decoded transparently by the
+    quad samplers); any float dtype is a plain cast.
+    """
+    if dtype == jnp.uint8:
+        return encode_quad_u8(qtex)
+    return qtex.astype(dtype)
+
+
+def _decode_quad(q: jnp.ndarray) -> jnp.ndarray:
+    """Decode a gathered quad row to f32 (inverse of encode_quad_u8)."""
+    if q.dtype == jnp.uint8:
+        f = q.astype(jnp.float32) * (1.0 / 255.0)
+        return f * f
+    return q
+
+
 def _bilinear_quad_gather(
     qtex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, channels: int
 ) -> jnp.ndarray:
@@ -73,7 +106,7 @@ def _bilinear_quad_gather(
     v0 = jnp.floor(v).astype(jnp.int32)
     fu = (u - u0.astype(u.dtype))[..., None]
     fv = (v - v0.astype(v.dtype))[..., None]
-    q = qtex[jnp.clip(v0, 0, tex_h - 1), jnp.mod(u0, tex_w)]
+    q = _decode_quad(qtex[jnp.clip(v0, 0, tex_h - 1), jnp.mod(u0, tex_w)])
     c = channels
     c00, c10, c01, c11 = q[..., :c], q[..., c : 2 * c], q[..., 2 * c : 3 * c], q[..., 3 * c :]
     # v-clamp parity with the 4-gather path: above the top row both
@@ -171,7 +204,9 @@ def sample_disk_mip_quad(
     fu = (u - u0.astype(u.dtype))[..., None]
     fv = (v - v0.astype(v.dtype))[..., None]
     fv = jnp.where(v0[..., None] < 0, 0.0, jnp.clip(fv, 0.0, 1.0))
-    q = qmips[lod_i, jnp.clip(v0, 0, h_lod_i - 1), jnp.mod(u0, w_lod_i)]
+    q = _decode_quad(
+        qmips[lod_i, jnp.clip(v0, 0, h_lod_i - 1), jnp.mod(u0, w_lod_i)]
+    )
     c = channels
     c00, c10, c01, c11 = q[..., :c], q[..., c : 2 * c], q[..., 2 * c : 3 * c], q[..., 3 * c :]
     return (

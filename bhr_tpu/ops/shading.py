@@ -118,7 +118,9 @@ def apply_g_factor(
     g_grav = grav_num / grav_den
 
     g = jnp.minimum(g_doppler * g_grav, G_FACTOR_CAP)
-    intensity = jnp.maximum(jnp.power(g, G_LUMINOSITY_POWER), 0.0)
+    # g^1.5 == g * sqrt(g) (g >= 0): one sqrt instead of exp(1.5*log(g)).
+    assert G_LUMINOSITY_POWER == 1.5
+    intensity = g * jnp.sqrt(jnp.maximum(g, 0.0))
     brightness = G_BRIGHTNESS_GAIN * intensity / (1.0 + intensity / G_FACTOR_CAP)
 
     radial_span = max(r_outer - r_inner, 1e-3)
@@ -135,9 +137,9 @@ def apply_g_factor(
     # the green channel is invariant.
     g_safe = jnp.maximum(g, 0.1)
     wien = 1.0 - 1.0 / g_safe
-    norm = jnp.exp(2.72 * wien)
-    r_scale = jnp.minimum(jnp.exp(2.21 * wien) / norm, 3.0)
-    b_scale = jnp.minimum(jnp.exp(3.13 * wien) / norm, 3.0)
+    # exp(x_c*w)/exp(x_g*w) == exp((x_c-x_g)*w): two exps, no division.
+    r_scale = jnp.minimum(jnp.exp((2.21 - 2.72) * wien), 3.0)
+    b_scale = jnp.minimum(jnp.exp((3.13 - 2.72) * wien), 3.0)
 
     shifted = jnp.stack(
         [

@@ -127,14 +127,21 @@ def shade_frame(
             return accum, alpha_total
 
         for k in range(k_slots):
-            # Skip slots no ray reached this frame — saves the gathers
-            # for the rare ghost-image slots.
-            accum, alpha_total = jax.lax.cond(
-                k < max_hits,
-                lambda acc, al, k=k: shade_slot(k, acc, al),
-                lambda acc, al: (acc, al),
-                accum, alpha_total,
-            )
+            if k < 2:
+                # Slots 0-1 are populated in essentially every disk
+                # frame; shading them unconditionally lets XLA fuse both
+                # slot passes (a lax.cond materializes its carried
+                # accum/alpha operands either way).
+                accum, alpha_total = shade_slot(k, accum, alpha_total)
+            else:
+                # Skip slots no ray reached this frame — saves the
+                # gathers for the rare ghost-image slots.
+                accum, alpha_total = jax.lax.cond(
+                    k < max_hits,
+                    lambda acc, al, k=k: shade_slot(k, acc, al),
+                    lambda acc, al: (acc, al),
+                    accum, alpha_total,
+                )
 
     bg = jnp.where(
         trace.escaped[:, None],

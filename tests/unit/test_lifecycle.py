@@ -149,3 +149,41 @@ def test_dynamic_disk_visual_sanity():
     assert tex0[..., 3].std() > 0.02
     assert np.abs(tex1 - tex0).mean() > 1e-4
     assert tex0.max() <= 1.0 and tex0.min() >= 0.0
+
+
+def test_entity_layer_phi_scale_close_to_full_res():
+    """phi_scale=2 linear upsample stays close to full-res evaluation."""
+    import jax.numpy as jnp
+
+    from bhr_tpu.models.lifecycle import (
+        MAX_HOTSPOTS,
+        MAX_RT_SPIKES,
+        accumulate_entity_layer,
+        pack_filaments,
+        pack_timer_entities,
+    )
+    from bhr_tpu.models.dynamic_disk import DynamicDiskSystem
+
+    n_r, n_phi = 64, 256
+    dyn = DynamicDiskSystem(n_r, n_phi, 2.0, 3.5, seed=7)
+    fil = jnp.asarray(pack_filaments(dyn.factories["filament"], 1.0))
+    hs = jnp.asarray(
+        pack_timer_entities(dyn.factories["hotspot"], 1.0, MAX_HOTSPOTS, 0.0)
+    )
+    rt = jnp.asarray(
+        pack_timer_entities(dyn.factories["rt_spike"], 1.0, MAX_RT_SPIKES, 1.0)
+    )
+    omega = dyn.omega_rows
+
+    full = np.asarray(
+        accumulate_entity_layer(fil, hs, rt, omega, n_r, n_phi, phi_scale=1)
+    )
+    half = np.asarray(
+        accumulate_entity_layer(fil, hs, rt, omega, n_r, n_phi, phi_scale=2)
+    )
+    assert half.shape == full.shape
+    scale = max(float(np.abs(full).max()), 1e-6)
+    rel_err = np.abs(half - full).max() / scale
+    assert rel_err < 0.05, rel_err
+    # Upsample must preserve total mass closely.
+    assert np.allclose(half.sum(), full.sum(), rtol=0.01)

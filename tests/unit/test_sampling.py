@@ -195,3 +195,40 @@ def test_fast_trig_accuracy():
     z = rng.uniform(-1, 1, 5000).astype(np.float32)
     got = np.asarray(fast_arccos(jnp.asarray(z)))
     assert np.abs(got - np.arccos(z)).max() < 3e-4
+
+
+def test_u8_quad_encoding_roundtrip_error():
+    """Gamma-2 u8 storage decodes within its documented error bound."""
+    import numpy as np
+
+    from bhr_tpu.ops.sampling import encode_quad_u8, _decode_quad
+
+    rng = np.random.default_rng(3)
+    tex = jnp.asarray(rng.random((16, 32, 16)).astype(np.float32))
+    dec = np.asarray(_decode_quad(encode_quad_u8(tex)))
+    v = np.asarray(tex)
+    # d/dq (q/255)^2 = 2q/255^2 <= 2*sqrt(v)/255 per code step.
+    bound = 2.0 * np.sqrt(np.maximum(v, 1e-4)) / 255.0 + 1e-5
+    assert (np.abs(dec - v) <= bound).all()
+
+
+def test_u8_quad_sampling_matches_f32():
+    """Bilinear sampling from u8 quads tracks the f32 path closely."""
+    import numpy as np
+
+    from bhr_tpu.ops.sampling import (
+        pack_quad,
+        quantize_packed,
+        sample_disk_quad,
+    )
+
+    rng = np.random.default_rng(4)
+    tex = jnp.asarray(rng.random((32, 128, 4)).astype(np.float32))
+    qf = pack_quad(tex)
+    q8 = quantize_packed(qf, jnp.uint8)
+    n = 512
+    hx = jnp.asarray(rng.uniform(-3.4, 3.4, n).astype(np.float32))
+    hy = jnp.asarray(rng.uniform(-3.4, 3.4, n).astype(np.float32))
+    a = np.asarray(sample_disk_quad(qf, hx, hy, 2.0, 3.5, 0.0))
+    b = np.asarray(sample_disk_quad(q8, hx, hy, 2.0, 3.5, 0.0))
+    assert np.abs(a - b).max() < 5e-3
