@@ -75,3 +75,86 @@ class AsyncPNGWriter:
     def close(self) -> None:
         self.drain()
         self._pool.shutdown(wait=False)
+
+
+def write_mjpeg_avi(
+    frame_paths: List[str], output_path: str, fps: int,
+    quality: int = 92,
+) -> None:
+    """Assemble PNG frames into an MJPEG AVI with no external encoder.
+
+    Dependency-free fallback for hosts without pyav/ffmpeg (the
+    reference hard-depends on pyav, render.py:4497-4503): every frame
+    is JPEG-encoded via PIL and wrapped in a RIFF/AVI container with an
+    idx1 index — playable by ffplay/VLC/browsers and losslessly
+    re-muxable to MP4 later (`ffmpeg -i x.avi -c copy x.mp4`).
+    """
+    import io as _io
+    import struct
+
+    from PIL import Image
+
+    if not frame_paths:
+        raise ValueError("no frames to assemble")
+    first = Image.open(frame_paths[0])
+    width, height = first.size
+
+    jpegs = []
+    for p in frame_paths:
+        buf = _io.BytesIO()
+        Image.open(p).convert("RGB").save(buf, "JPEG", quality=quality)
+        data = buf.getvalue()
+        if len(data) % 2:
+            data += b"\x00"
+        jpegs.append(data)
+
+    n = len(jpegs)
+    max_size = max(len(j) for j in jpegs)
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(payload)) + payload
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<14I",
+        int(1_000_000 / max(fps, 1)),  # microseconds per frame
+        max_size * fps,                # max bytes per second (upper bound)
+        0,                             # padding granularity
+        0x10,                          # AVIF_HASINDEX
+        n, 0, 1, max_size, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, max(fps, 1),                # scale / rate -> fps
+        0, n, max_size, 0xFFFFFFFF - 1, -1,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+
+    movi_payload = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_payload)
+
+    idx_entries = []
+    offset = 4  # relative to the start of the 'movi' fourcc
+    for j in jpegs:
+        idx_entries.append(
+            struct.pack("<4sIII", b"00dc", 0x10, offset, len(j))
+        )
+        offset += 8 + len(j)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    with open(output_path, "wb") as fh:
+        fh.write(chunk(b"RIFF", riff_payload))

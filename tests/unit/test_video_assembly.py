@@ -1,0 +1,64 @@
+"""MJPEG-AVI fallback assembly: container structure + decodable frames."""
+
+import io
+import os
+import struct
+
+import numpy as np
+from PIL import Image
+
+from bhr_tpu.utils.io import save_image, write_mjpeg_avi
+
+
+def _make_frames(tmp_path, n=4, w=64, h=32):
+    paths = []
+    for i in range(n):
+        img = np.zeros((h, w, 3), np.float32)
+        img[:, : (i + 1) * 8, i % 3] = 1.0
+        p = os.path.join(tmp_path, f"frame_{i:04d}.png")
+        save_image(img, p)
+        paths.append(p)
+    return paths
+
+
+def test_mjpeg_avi_structure_and_frames(tmp_path):
+    paths = _make_frames(str(tmp_path))
+    out = os.path.join(str(tmp_path), "out.avi")
+    write_mjpeg_avi(paths, out, fps=2)
+
+    data = open(out, "rb").read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    riff_size = struct.unpack("<I", data[4:8])[0]
+    assert riff_size == len(data) - 8
+
+    # Main header: frame count and dimensions.
+    avih_at = data.find(b"avih")
+    fields = struct.unpack("<14I", data[avih_at + 8 : avih_at + 8 + 56])
+    assert fields[4] == 4 and fields[8] == 64 and fields[9] == 32
+    assert data.find(b"idx1") > 0
+
+    # Every 00dc chunk must decode as a JPEG of the right size.
+    pos, count = 0, 0
+    while True:
+        pos = data.find(b"00dc", pos + 1)
+        if pos < 0 or pos > data.find(b"idx1"):
+            break
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        jpg = data[pos + 8 : pos + 8 + size].rstrip(b"\x00")
+        img = Image.open(io.BytesIO(jpg))
+        assert img.size == (64, 32)
+        count += 1
+    assert count == 4
+
+
+def test_assemble_video_falls_back_to_avi(tmp_path):
+    from bhr_tpu.modes import _assemble_video
+
+    paths = _make_frames(str(tmp_path))
+    out = os.path.join(str(tmp_path), "vid.mp4")
+    _assemble_video(str(tmp_path), out, 4, 2)
+    # On hosts without pyav/ffmpeg the AVI fallback must exist; with
+    # them the mp4 itself exists. Either way assembly succeeded.
+    assert os.path.exists(out) or os.path.exists(
+        os.path.join(str(tmp_path), "vid.avi")
+    )
