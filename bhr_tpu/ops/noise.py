@@ -24,10 +24,11 @@ import jax.numpy as jnp
 
 
 def _grad3_dot(h, x, y, z):
-    """Dot of one of 12 edge-gradient directions (selected by hash) with
-    the offset vector — vectorized (branchless) form of the classic
-    gradient table."""
-    h = jnp.mod(h, 12)
+    """Dot of an edge-gradient direction (selected by hash) with the
+    offset vector — Perlin's classic h & 15 gradient table (12 edge
+    directions, 4 duplicated) in branchless form. `& 15` replaces an
+    integer mod-12 (a multi-op division on the VPU)."""
+    h = h & 15
     u = jnp.where(h < 8, x, y)
     v = jnp.where(h < 4, y, jnp.where((h == 12) | (h == 14), x, z))
     r1 = jnp.where(h & 1 == 0, u, -u)
@@ -71,40 +72,35 @@ def simplex_noise_3d(x, y, z):
     y0 = y - (j.astype(x.dtype) - t)
     z0 = z - (k.astype(x.dtype) - t)
 
-    # Simplex corner offsets: branchless 6-case ordering table for the
-    # components of (x0, y0, z0) (the branch tree in Gustavson's
-    # algorithm, cf. reference render.py:2697-2712).
-    x_ge_y = x0 >= y0
-    y_ge_z = y0 >= z0
-    x_ge_z = x0 >= z0
+    # Simplex corner offsets: Gustavson's 6-case ordering branch tree
+    # (reference render.py:2697-2712) reduced to boolean algebra over
+    # the three pairwise comparisons — 6 logic ops instead of a 36-way
+    # select table (truth-table equivalent, verified in tests against
+    # the scalar oracle).
+    a = x0 >= y0
+    b = y0 >= z0
+    c = x0 >= z0
 
-    c_xyz = x_ge_y & y_ge_z                      # x>=y>=z
-    c_xzy = x_ge_y & ~y_ge_z & x_ge_z            # x>=z>y
-    c_zxy = x_ge_y & ~y_ge_z & ~x_ge_z           # z>x>=y
-    c_zyx = ~x_ge_y & ~y_ge_z                    # z>y>x
-    c_yzx = ~x_ge_y & y_ge_z & ~x_ge_z           # y>=z>x
-    c_yxz = ~x_ge_y & y_ge_z & x_ge_z            # y>x>=z
+    b_i1 = a & (b | c)
+    b_j1 = (~a) & b
+    b_k1 = (~b) & ~(a & c)
+    b_i2 = a | (b & c)
+    b_j2 = (~a) | b
+    b_k2 = (~b) | ((~a) & (~c))
 
-    def pick(a, b, c, d, e, f):
-        return (
-            jnp.where(c_xyz, a, 0) + jnp.where(c_xzy, b, 0)
-            + jnp.where(c_zxy, c, 0) + jnp.where(c_zyx, d, 0)
-            + jnp.where(c_yzx, e, 0) + jnp.where(c_yxz, f, 0)
-        ).astype(jnp.int32)
+    i1 = b_i1.astype(jnp.int32)
+    j1 = b_j1.astype(jnp.int32)
+    k1 = b_k1.astype(jnp.int32)
+    i2 = b_i2.astype(jnp.int32)
+    j2 = b_j2.astype(jnp.int32)
+    k2 = b_k2.astype(jnp.int32)
 
-    i1 = pick(1, 1, 0, 0, 0, 0)
-    j1 = pick(0, 0, 0, 0, 1, 1)
-    k1 = pick(0, 0, 1, 1, 0, 0)
-    i2 = pick(1, 1, 1, 0, 0, 1)
-    j2 = pick(1, 0, 0, 1, 1, 1)
-    k2 = pick(0, 1, 1, 1, 1, 0)
-
-    x1 = x0 - i1 + g3
-    y1 = y0 - j1 + g3
-    z1 = z0 - k1 + g3
-    x2 = x0 - i2 + 2.0 * g3
-    y2 = y0 - j2 + 2.0 * g3
-    z2 = z0 - k2 + 2.0 * g3
+    x1 = x0 - b_i1.astype(x.dtype) + g3
+    y1 = y0 - b_j1.astype(x.dtype) + g3
+    z1 = z0 - b_k1.astype(x.dtype) + g3
+    x2 = x0 - b_i2.astype(x.dtype) + 2.0 * g3
+    y2 = y0 - b_j2.astype(x.dtype) + 2.0 * g3
+    z2 = z0 - b_k2.astype(x.dtype) + 2.0 * g3
     x3 = x0 - 1.0 + 3.0 * g3
     y3 = y0 - 1.0 + 3.0 * g3
     z3 = z0 - 1.0 + 3.0 * g3

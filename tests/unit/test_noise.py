@@ -32,7 +32,7 @@ def _simplex_oracle(x, y, z):
     with the computational lattice hash."""
 
     def grad(h, x, y, z):
-        h = h % 12
+        h = h & 15
         u = x if h < 8 else y
         v = y if h < 4 else (x if h in (12, 14) else z)
         return (u if h & 1 == 0 else -u) + (v if h & 2 == 0 else -v)
