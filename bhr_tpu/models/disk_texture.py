@@ -659,7 +659,6 @@ def build_parametric_state(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("enable_rt",))
 def compose_from_components(
     comp: jnp.ndarray,
     omega_rows: jnp.ndarray,
@@ -674,12 +673,30 @@ def compose_from_components(
     """Compose the RGBA texture from components with per-row Keplerian
     rotation — the reference GPU compose kernel's contract
     (render.py:3169-3259), one fused gather+math program here.
+
+    A *Python-scalar* t_offset of 0.0 statically elides the
+    13 x n_r x n_phi roll gather (the dynamic lifecycle path always
+    composes at t=0: rotation lives in the background's rotating
+    coordinates + entity phases). The check must happen outside the
+    jitted body — inside it every argument is a tracer.
     """
+    skip_roll = isinstance(t_offset, (int, float)) and float(t_offset) == 0.0
+    return _compose_from_components(
+        comp, omega_rows, edge, density_p98, struct_scale, row_stats,
+        jnp.asarray(t_offset, jnp.float32), enable_rt, color_temp,
+        skip_roll=skip_roll,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("enable_rt", "skip_roll")
+)
+def _compose_from_components(
+    comp, omega_rows, edge, density_p98, struct_scale, row_stats,
+    t_offset, enable_rt: bool, color_temp, skip_roll: bool = False,
+) -> jnp.ndarray:
     n_r, n_phi = comp.shape[1], comp.shape[2]
-    if isinstance(t_offset, (int, float)) and float(t_offset) == 0.0:
-        # Identity roll: skip the 13 x n_r x n_phi gather. The dynamic
-        # lifecycle path always composes at t=0 (rotation lives in the
-        # background's rotating coordinates + entity phases).
+    if skip_roll:
         rolled = comp
     else:
         shift = (

@@ -207,6 +207,13 @@ def build_ray_march_kernel(
             (px, py, pz) = s[0]
             (vx, vy, vz) = s[1]
             active = s[7] > 0.5
+            if exit_check_every > 1:
+                # The exit check runs once per unrolled block, so the
+                # block may run past max_iter; gate the step-count
+                # bound here so still-active rays freeze at exactly
+                # max_iter steps (identical semantics to the
+                # per-step-checked and pure-JAX paths).
+                active = active & (s[12] < max_iter)
 
             r2 = px * px + py * py + pz * pz
             r_cur = jnp.sqrt(r2)

@@ -112,8 +112,11 @@ def build_sharded_video_renderer(
     # quad-pack entirely (~20 ms/frame at FHD texture sizes).
     use_diff = cfg.anti_alias != "disabled"
     if tex_dtype is None:
+        # uint8 gamma-2 storage on TPU halves per-sample gather bytes
+        # (ops/sampling.encode_quad_u8); the caller's skybox_q must use
+        # the same dtype policy.
         tex_dtype = (
-            jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+            jnp.uint8 if jax.default_backend() == "tpu" else jnp.float32
         )
 
     r_norm = np.linspace(0.0, 1.0, n_r)
@@ -251,6 +254,10 @@ def render_video_frames_sharded(
             mesh, config, dynamic.n_r, dynamic.n_phi,
             r_escape=r_escape, az_freq=dynamic.az_freq,
             az_shear=dynamic.az_shear,
+            tex_dtype=(
+                jnp.uint8 if jax.default_backend() == "tpu"
+                else jnp.float32
+            ),
         )
     out = renderer_fn(
         skybox_q, cam_pack, t_arr,

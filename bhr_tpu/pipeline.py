@@ -56,9 +56,11 @@ def shade_frame(
     """Deferred shading over recorded hits.
 
     Textures arrive quad-packed (ops.sampling.pack_quad / pack_quad_mips)
-    so each bilinear sample costs ONE gather. Hit slots beyond the
-    frame's max crossing count are skipped via lax.cond (typical frames
-    fill at most 2 of the K slots).
+    so each bilinear sample costs ONE gather. Slots 0-1 shade
+    unconditionally (populated in essentially every disk frame, and
+    straight-line code lets XLA fuse both passes); slots >= 2 — the
+    rare ghost-image crossings — are skipped via lax.cond when no ray
+    reached them.
 
     Returns (bg_rgb, disk_rgb, alpha_total), each (N, ...) flattened over
     pixels. Front-to-back alpha compositing over the K hit slots

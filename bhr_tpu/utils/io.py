@@ -96,65 +96,90 @@ def write_mjpeg_avi(
 
     if not frame_paths:
         raise ValueError("no frames to assemble")
-    first = Image.open(frame_paths[0])
-    width, height = first.size
+    with Image.open(frame_paths[0]) as first:
+        width, height = first.size
+    n = len(frame_paths)
 
-    jpegs = []
-    for p in frame_paths:
-        buf = _io.BytesIO()
-        Image.open(p).convert("RGB").save(buf, "JPEG", quality=quality)
-        data = buf.getvalue()
-        if len(data) % 2:
-            data += b"\x00"
-        jpegs.append(data)
+    def chunk_header(fourcc: bytes, size: int) -> bytes:
+        return fourcc + struct.pack("<I", size)
 
-    n = len(jpegs)
-    max_size = max(len(j) for j in jpegs)
+    def pack_avih(max_size: int) -> bytes:
+        return struct.pack(
+            "<14I",
+            int(1_000_000 / max(fps, 1)),  # microseconds per frame
+            max_size * fps,                # max bytes per second (bound)
+            0,                             # padding granularity
+            0x10,                          # AVIF_HASINDEX
+            n, 0, 1, max_size, width, height, 0, 0, 0, 0,
+        )
 
-    def chunk(fourcc: bytes, payload: bytes) -> bytes:
-        return fourcc + struct.pack("<I", len(payload)) + payload
+    def pack_strh(max_size: int) -> bytes:
+        # dwQuality = -1 (driver default), dwSampleSize = 0 (required
+        # for 'vids' streams: frames are variable-size).
+        return struct.pack(
+            "<4s4sIHHIIIIIIiI4H",
+            b"vids", b"MJPG", 0, 0, 0, 0,
+            1, max(fps, 1),                # scale / rate -> fps
+            0, n, max_size, -1, 0,
+            0, 0, width, height,
+        )
 
-    def lst(kind: bytes, payload: bytes) -> bytes:
-        return chunk(b"LIST", kind + payload)
-
-    avih = struct.pack(
-        "<14I",
-        int(1_000_000 / max(fps, 1)),  # microseconds per frame
-        max_size * fps,                # max bytes per second (upper bound)
-        0,                             # padding granularity
-        0x10,                          # AVIF_HASINDEX
-        n, 0, 1, max_size, width, height, 0, 0, 0, 0,
-    )
-    strh = struct.pack(
-        "<4s4sIHHIIIIIIIi4H",
-        b"vids", b"MJPG", 0, 0, 0, 0,
-        1, max(fps, 1),                # scale / rate -> fps
-        0, n, max_size, 0xFFFFFFFF - 1, -1,
-        0, 0, width, height,
-    )
     strf = struct.pack(
         "<IiiHH4sIiiII",
         40, width, height, 1, 24, b"MJPG",
         width * height * 3, 0, 0, 0, 0,
     )
-    hdrl = lst(
-        b"hdrl",
-        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
-    )
 
-    movi_payload = b"".join(chunk(b"00dc", j) for j in jpegs)
-    movi = lst(b"movi", movi_payload)
-
-    idx_entries = []
-    offset = 4  # relative to the start of the 'movi' fourcc
-    for j in jpegs:
-        idx_entries.append(
-            struct.pack("<4sIII", b"00dc", 0x10, offset, len(j))
-        )
-        offset += 8 + len(j)
-    idx1 = chunk(b"idx1", b"".join(idx_entries))
-
-    riff_payload = b"AVI " + hdrl + movi + idx1
+    # Streaming layout: headers are written with placeholder sizes,
+    # frames are JPEG-encoded and appended one at a time (peak memory
+    # is one frame, not the whole video), then RIFF/movi/avih/strh
+    # size fields are patched in place.
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     with open(output_path, "wb") as fh:
-        fh.write(chunk(b"RIFF", riff_payload))
+        fh.write(chunk_header(b"RIFF", 0) + b"AVI ")
+
+        hdrl_payload = (
+            b"hdrl"
+            + chunk_header(b"avih", 56) + pack_avih(0)
+            + chunk_header(b"LIST", 4 + 8 + 56 + 8 + len(strf))
+            + b"strl"
+            + chunk_header(b"strh", 56) + pack_strh(0)
+            + chunk_header(b"strf", len(strf)) + strf
+        )
+        hdrl_at = fh.tell()
+        fh.write(chunk_header(b"LIST", len(hdrl_payload)) + hdrl_payload)
+
+        movi_list_at = fh.tell()
+        fh.write(chunk_header(b"LIST", 0) + b"movi")
+
+        index = []  # (offset_in_movi, padded_size)
+        offset = 4  # relative to the start of the 'movi' fourcc
+        max_size = 0
+        for p_frame in frame_paths:
+            buf = _io.BytesIO()
+            with Image.open(p_frame) as im:
+                im.convert("RGB").save(buf, "JPEG", quality=quality)
+            data = buf.getvalue()
+            if len(data) % 2:
+                data += b"\x00"
+            fh.write(chunk_header(b"00dc", len(data)) + data)
+            index.append((offset, len(data)))
+            offset += 8 + len(data)
+            max_size = max(max_size, len(data))
+
+        movi_size = 4 + sum(8 + sz for _, sz in index)
+        fh.write(chunk_header(b"idx1", 16 * n))
+        for off, sz in index:
+            fh.write(struct.pack("<4sIII", b"00dc", 0x10, off, sz))
+
+        riff_size = fh.tell() - 8
+        fh.seek(4)
+        fh.write(struct.pack("<I", riff_size))
+        fh.seek(movi_list_at + 4)
+        fh.write(struct.pack("<I", movi_size))
+        # hdrl layout: LIST(8) 'hdrl'(4) 'avih'+size(8) <avih 56>
+        #              LIST(8) 'strl'(4) 'strh'+size(8) <strh 56> ...
+        fh.seek(hdrl_at + 20)
+        fh.write(pack_avih(max_size))
+        fh.seek(hdrl_at + 20 + 56 + 8 + 4 + 8)
+        fh.write(pack_strh(max_size))

@@ -29,7 +29,14 @@ def _hash3_oracle(i, j, k):
 
 def _simplex_oracle(x, y, z):
     """Independent scalar NumPy implementation of Gustavson 3D simplex
-    with the computational lattice hash."""
+    with the computational lattice hash.
+
+    Scope: this oracle validates the *vectorized branchless* JAX
+    implementation against straightforward scalar control flow (the
+    corner-ordering branch tree, per-corner falloff). The hash and the
+    h & 15 gradient table are shared constants of this framework's
+    noise spec — deviations from the reference's table noise are
+    documented in docs/PARITY.md (items 1, 9)."""
 
     def grad(h, x, y, z):
         h = h & 15

@@ -37,6 +37,17 @@ def test_mjpeg_avi_structure_and_frames(tmp_path):
     assert fields[4] == 4 and fields[8] == 64 and fields[9] == 32
     assert data.find(b"idx1") > 0
 
+    # Stream header: fps via scale/rate, length, and the two fields
+    # strict demuxers care about: dwSampleSize must be 0 for 'vids'.
+    strh_at = data.find(b"strh")
+    s_fields = struct.unpack(
+        "<4s4sIHHIIIIIIiI4H", data[strh_at + 8 : strh_at + 8 + 56]
+    )
+    assert s_fields[0] == b"vids" and s_fields[1] == b"MJPG"
+    assert s_fields[6] == 1 and s_fields[7] == 2  # scale=1, rate=fps
+    assert s_fields[9] == 4  # dwLength = n frames
+    assert s_fields[12] == 0  # dwSampleSize == 0 (variable-size frames)
+
     # Every 00dc chunk must decode as a JPEG of the right size.
     pos, count = 0, 0
     while True:
