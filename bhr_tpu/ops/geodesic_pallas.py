@@ -40,9 +40,11 @@ from ..constants import MAX_DISK_CROSSINGS, RS
 from .geodesic import HIT_FEATURES, TraceResult
 
 # Tile shape: BR sublanes x BC lanes of pixels per kernel instance.
-# 64x128 measured fastest at FHD (57.7ms vs 67ms for 16x128): fewer
-# grid-step overheads outweigh the coarser early-exit granularity.
-BLOCK_ROWS = 64
+# With per-step exit checks, 64x128 was fastest (grid overhead beat
+# exit granularity); with the 8-step unrolled exit check amortizing
+# that overhead, 32x128 wins (17.5 vs 19.3 ms at FHD on v5e) — finer
+# tiles quit sooner around the photon ring.
+BLOCK_ROWS = 32
 BLOCK_COLS = 128
 
 # Camera parameter vector layout (SMEM):
