@@ -33,6 +33,11 @@ MAX_ABS_TOL = 5e-3
 MEAN_ABS_TOL = 2e-4
 OUTLIER_FRAC = 0.001  # fraction of pixels allowed above 10x mean tol
 
+# Cross-backend bounds (TPU Pallas + bf16/u8 textures vs CPU pure-JAX
+# f32): measured max ~8e-3 / mean ~4e-5, bounded with ~5x headroom.
+XB_MAX_ABS_TOL = 5e-2
+XB_MEAN_ABS_TOL = 5e-4
+
 
 def render_e2e_scene() -> np.ndarray:
     """The pinned golden scene, deterministic given the backend."""
@@ -85,7 +90,7 @@ def verify() -> int:
     digest = hashlib.md5(img.tobytes()).hexdigest()
     if digest == str(data["md5"]):
         print(f"PASS (bit-exact, md5 {digest})")
-        return 0
+        return 0 if _verify_cross_backend(img) else 1
 
     diff = np.abs(img.astype(np.float64) - golden.astype(np.float64))
     max_abs = diff.max()
@@ -95,7 +100,37 @@ def verify() -> int:
           and outliers <= OUTLIER_FRAC)
     print(f"{'PASS' if ok else 'FAIL'} (tolerance): max={max_abs:.2e} "
           f"mean={mean_abs:.2e} outliers={outliers:.4%}")
+    ok = _verify_cross_backend(img) and ok
     return 0 if ok else 1
+
+
+def _verify_cross_backend(img: np.ndarray) -> bool:
+    """Compare against every OTHER backend's golden (loose bounds).
+
+    Catches backend-specific bugs (Pallas kernel vs pure-JAX loop,
+    texture-precision paths) that same-backend goldens absorb.
+    """
+    import glob
+
+    import jax
+
+    own = f"e2e_{jax.default_backend()}.npz"
+    ok = True
+    for path in sorted(glob.glob(os.path.join(GOLDEN_DIR, "e2e_*.npz"))):
+        if os.path.basename(path) == own:
+            continue
+        other = np.load(path, allow_pickle=True)["image"]
+        if other.shape != img.shape:
+            continue
+        diff = np.abs(img.astype(np.float64) - other.astype(np.float64))
+        this_ok = (
+            diff.max() <= XB_MAX_ABS_TOL and diff.mean() <= XB_MEAN_ABS_TOL
+        )
+        ok = ok and this_ok
+        print(f"{'PASS' if this_ok else 'FAIL'} (cross-backend vs "
+              f"{os.path.basename(path)}): max={diff.max():.2e} "
+              f"mean={diff.mean():.2e}")
+    return ok
 
 
 def main() -> int:
