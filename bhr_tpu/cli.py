@@ -84,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--disk_rotation_speed", type=float, default=0.1)
     p.add_argument("--keyframes_count", type=int, default=10,
                    help="[deprecated]")
+    p.add_argument("--ignore_taichi_cache", action="store_true",
+                   help="[deprecated] Taichi-specific; the XLA analogue "
+                        "is --compile_cache off (reference render.py:4560)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax debug_nans (traps NaN/Inf in any "

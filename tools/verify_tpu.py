@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""One-command TPU smoke verification of the production paths.
+
+The CPU test suite exercises interpret-mode Pallas and f32 textures; the
+production TPU configuration (compiled Pallas kernel, unrolled exit
+checks, uint8 gamma textures, sharded video renderer) only runs on the
+chip. This script drives all of it and checks invariants:
+
+  1. e2e golden scene: same-backend golden + cross-backend bounds
+     (tests/e2e_render.py --verify).
+  2. Sharded dynamic video renderer, 2 frames: finite, non-trivial
+     output; frame-to-frame change (lifecycle advancing).
+  3. AA (ray-differential) variant compiles and softens edges.
+
+Run from the repo root: `python tools/verify_tpu.py`; exit 0 = pass.
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+
+def main() -> int:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print(f"note: backend is {jax.default_backend()}, not TPU — "
+              "still running (paths identical, speeds differ)")
+
+    failures = []
+
+    # -- 1. golden scene ----------------------------------------------------
+    import e2e_render
+
+    rc = e2e_render.verify()
+    if rc != 0:
+        failures.append(f"e2e golden verify rc={rc}")
+
+    # -- 2. sharded dynamic video renderer ----------------------------------
+    from bhr_tpu.config import SceneConfig, compute_disk_texture_resolution
+    from bhr_tpu.models.dynamic_disk import DynamicDiskSystem
+    from bhr_tpu.models.skybox import generate_skybox
+    from bhr_tpu.ops.sampling import pack_quad, quantize_packed
+    from bhr_tpu.parallel.mesh import make_frame_mesh
+    from bhr_tpu.parallel.video import (
+        build_sharded_video_renderer, pack_frame_params,
+    )
+    from bhr_tpu.parallel.frames import cameras_for_orbit, pack_cameras
+
+    def render_two(anti_alias: str) -> np.ndarray:
+        cfg = SceneConfig(
+            resolution="sd", pov=(6.0, 0.0, 0.5), fov=90.0, step_size=0.1,
+            disk_inner_radius=2.0, disk_outer_radius=15.0, disk_tilt=15.0,
+            orbit=True, n_frames=64, anti_alias=anti_alias,
+        ).validated()
+        width, height = cfg.image_size
+        sky = generate_skybox(512, 256, seed=42, n_stars=1000)
+        tex_dtype = (
+            jnp.uint8 if jax.default_backend() == "tpu" else jnp.float32
+        )
+        skyq = jax.jit(lambda t: quantize_packed(pack_quad(t), tex_dtype))(
+            jnp.asarray(sky, jnp.float32)
+        )
+        n_phi, n_r = compute_disk_texture_resolution(
+            width, height, cfg.pov, cfg.fov, 2.0, 15.0
+        )
+        dyn = DynamicDiskSystem(n_r, n_phi, 2.0, 15.0, seed=42)
+        fil, hs, rt = pack_frame_params(dyn, 2, cfg.disk_rotation_speed)
+        mesh = make_frame_mesh(1, 1, devices=jax.devices()[:1])
+        rend = build_sharded_video_renderer(
+            mesh, cfg, n_r, n_phi, r_escape=15.0,
+            az_freq=dyn.az_freq, az_shear=dyn.az_shear, tex_dtype=tex_dtype,
+        )
+        cams = cameras_for_orbit(cfg, [0, 1], width, height)
+        out = rend(
+            skyq, jnp.asarray(pack_cameras(cams)),
+            jnp.asarray([0.0, cfg.disk_rotation_speed], jnp.float32),
+            jnp.asarray(fil), jnp.asarray(hs), jnp.asarray(rt),
+        )
+        return np.asarray(out)
+
+    frames = render_two("disabled")
+    if not np.isfinite(frames.astype(np.float64)).all():
+        failures.append("video frames contain non-finite values")
+    occupancy = (frames > 0).mean()
+    if not 0.2 < occupancy < 1.0:
+        failures.append(f"video frame occupancy {occupancy:.3f} out of range")
+    delta = np.abs(
+        frames[0].astype(np.int16) - frames[1].astype(np.int16)
+    ).mean()
+    if delta <= 0.01:
+        failures.append(f"frames 0/1 nearly identical (mean delta {delta})")
+    print(f"sharded video OK: occupancy={occupancy:.3f} "
+          f"frame delta={delta:.2f}")
+
+    # -- 3. AA variant -------------------------------------------------------
+    aa = render_two("lod_radius")
+    if not np.isfinite(aa.astype(np.float64)).all():
+        failures.append("AA frames contain non-finite values")
+    aa_delta = np.abs(
+        aa[0].astype(np.int16) - frames[0].astype(np.int16)
+    ).mean()
+    print(f"AA variant OK: mean |AA - no-AA| = {aa_delta:.2f} "
+          "(expected small but nonzero)")
+    if aa_delta == 0:
+        failures.append("AA output identical to non-AA output")
+
+    if failures:
+        print("FAIL:")
+        for f in failures:
+            print(f"  - {f}")
+        return 1
+    print("verify_tpu: ALL PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
