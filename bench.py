@@ -32,7 +32,11 @@ def main() -> int:
     from bhr_tpu.config import SceneConfig, compute_disk_texture_resolution
     from bhr_tpu.models.dynamic_disk import DynamicDiskSystem
     from bhr_tpu.models.skybox import generate_skybox
-    from bhr_tpu.ops.sampling import pack_quad, quantize_packed
+    from bhr_tpu.ops.sampling import (
+        pack_quad,
+        production_tex_dtype,
+        quantize_packed,
+    )
     from bhr_tpu.parallel.mesh import make_frame_mesh
     from bhr_tpu.parallel.video import (
         build_sharded_video_renderer,
@@ -57,7 +61,7 @@ def main() -> int:
     width, height = cfg.image_size
 
     on_tpu = jax.default_backend() == "tpu"
-    tex_dtype = jnp.uint8 if on_tpu else jnp.float32
+    tex_dtype = production_tex_dtype()
     skybox = generate_skybox(2048, 1024, seed=42, n_stars=6000)
     skybox_q = jax.jit(lambda t: quantize_packed(pack_quad(t), tex_dtype))(
         jnp.asarray(skybox, jnp.float32)

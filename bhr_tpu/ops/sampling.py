@@ -78,6 +78,16 @@ def encode_quad_u8(qtex: jnp.ndarray) -> jnp.ndarray:
     ).astype(jnp.uint8)
 
 
+def production_tex_dtype():
+    """Storage dtype policy for quad-packed textures: gamma-2 uint8 on
+    TPU (halves gather fetch bytes), f32 elsewhere. Single source of
+    truth — the skybox quantization and renderer tex_dtype must agree.
+    """
+    import jax
+
+    return jnp.uint8 if jax.default_backend() == "tpu" else jnp.float32
+
+
 def quantize_packed(qtex: jnp.ndarray, dtype) -> jnp.ndarray:
     """Convert a quad-packed f32 texture to its storage dtype.
 

@@ -48,10 +48,12 @@ from ..models.lifecycle import (
 from ..ops import geodesic
 from ..ops.background import generate_background_components
 from ..ops.bloom import apply_bloom
+from ..ops.lens_flare import apply_lens_flare
 from ..ops.sampling import (
     build_mipmaps,
     pack_quad,
     pack_quad_mips,
+    production_tex_dtype,
     quantize_packed,
 )
 from ..pipeline import shade_frame
@@ -112,12 +114,7 @@ def build_sharded_video_renderer(
     # quad-pack entirely (~20 ms/frame at FHD texture sizes).
     use_diff = cfg.anti_alias != "disabled"
     if tex_dtype is None:
-        # uint8 gamma-2 storage on TPU halves per-sample gather bytes
-        # (ops/sampling.encode_quad_u8); the caller's skybox_q must use
-        # the same dtype policy.
-        tex_dtype = (
-            jnp.uint8 if jax.default_backend() == "tpu" else jnp.float32
-        )
+        tex_dtype = production_tex_dtype()
 
     r_norm = np.linspace(0.0, 1.0, n_r)
     r_vals = cfg.disk_inner_radius + (
@@ -201,6 +198,8 @@ def build_sharded_video_renderer(
             disk_img = disk_rgb.reshape(shape)
             blur = apply_bloom(disk_img, width_ref=width)
             final = jnp.clip(bg_img + disk_img + blur, 0.0, 1.0)
+            if cfg.lens_flare:
+                final = apply_lens_flare(final, disk_img)
             # uint8 on device: quarters the host-fetch bytes (PNG
             # encoding wants uint8 anyway).
             return jnp.round(final * 255.0).astype(jnp.uint8)
@@ -254,10 +253,7 @@ def render_video_frames_sharded(
             mesh, config, dynamic.n_r, dynamic.n_phi,
             r_escape=r_escape, az_freq=dynamic.az_freq,
             az_shear=dynamic.az_shear,
-            tex_dtype=(
-                jnp.uint8 if jax.default_backend() == "tpu"
-                else jnp.float32
-            ),
+            tex_dtype=production_tex_dtype(),
         )
     out = renderer_fn(
         skybox_q, cam_pack, t_arr,
@@ -315,12 +311,24 @@ def render_video_sharded(config: SceneConfig) -> None:
     completed = set()
     if config.resume and os.path.isdir(temp_dir) and os.path.isfile(progress_file):
         saved = json.load(open(progress_file))
-        if saved.get("params", {}) != params:
+        saved_params = dict(saved.get("params", {}))
+        # The 'sharded' marker only records which engine rendered the
+        # frames; the scene is identical (stats cadence differs by a
+        # documented hair, PARITY.md #5). Never wipe hours of completed
+        # frames over it.
+        cross_engine = saved_params.pop("sharded", None) != params.get(
+            "sharded"
+        )
+        compare = {k: v for k, v in params.items() if k != "sharded"}
+        if saved_params != compare:
             print("Parameters changed; starting over")
             shutil.rmtree(temp_dir)
             os.makedirs(temp_dir, exist_ok=True)
         else:
             completed = set(saved.get("completed", []))
+            if cross_engine and completed:
+                print("Resuming frames from the sequential engine "
+                      "(per-frame stats cadence differs slightly)")
             print(f"Resuming: {len(completed)}/{config.n_frames} frames done")
     else:
         if os.path.isdir(temp_dir) and not config.resume:
@@ -330,9 +338,7 @@ def render_video_sharded(config: SceneConfig) -> None:
     skybox, _, _ = load_or_generate_skybox(
         config.texture, 2048, 1024, config.n_stars, seed=config.skybox_seed
     )
-    # uint8 gamma-2 storage on TPU: halves gather fetch bytes (the
-    # dominant shading cost); decode error is far below PNG's 8 bits.
-    tex_dtype = jnp.uint8 if jax.default_backend() == "tpu" else jnp.float32
+    tex_dtype = production_tex_dtype()
     skybox_q = jax.jit(lambda t: quantize_packed(pack_quad(t), tex_dtype))(
         jnp.asarray(skybox, jnp.float32)
     )

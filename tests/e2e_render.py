@@ -121,6 +121,10 @@ def _verify_cross_backend(img: np.ndarray) -> bool:
             continue
         other = np.load(path, allow_pickle=True)["image"]
         if other.shape != img.shape:
+            print(f"FAIL (cross-backend vs {os.path.basename(path)}): "
+                  f"stale golden shape {other.shape} != {img.shape} — "
+                  "regenerate with --generate on that backend")
+            ok = False
             continue
         diff = np.abs(img.astype(np.float64) - other.astype(np.float64))
         this_ok = (

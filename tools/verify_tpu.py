@@ -15,10 +15,12 @@ chip. This script drives all of it and checks invariants:
 Run from the repo root: `python tools/verify_tpu.py`; exit 0 = pass.
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
-sys.path.insert(0, "tests")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
 
 
 def main() -> int:
@@ -58,9 +60,9 @@ def main() -> int:
         ).validated()
         width, height = cfg.image_size
         sky = generate_skybox(512, 256, seed=42, n_stars=1000)
-        tex_dtype = (
-            jnp.uint8 if jax.default_backend() == "tpu" else jnp.float32
-        )
+        from bhr_tpu.ops.sampling import production_tex_dtype
+
+        tex_dtype = production_tex_dtype()
         skyq = jax.jit(lambda t: quantize_packed(pack_quad(t), tex_dtype))(
             jnp.asarray(sky, jnp.float32)
         )
@@ -103,10 +105,10 @@ def main() -> int:
     aa_delta = np.abs(
         aa[0].astype(np.int16) - frames[0].astype(np.int16)
     ).mean()
-    print(f"AA variant OK: mean |AA - no-AA| = {aa_delta:.2f} "
-          "(expected small but nonzero)")
     if aa_delta == 0:
         failures.append("AA output identical to non-AA output")
+    else:
+        print(f"AA variant OK: mean |AA - no-AA| = {aa_delta:.2f}")
 
     if failures:
         print("FAIL:")
