@@ -57,9 +57,11 @@ def _dynamic_step(
     comp = jnp.concatenate(
         [bg[0:5], staging, bg[5:7]], axis=0
     )  # [tb, sp, sp_t, turb, turb_t, fil_d, fil_t, rt_d, rt_t, hs_d, hs_t, az, dm]
+    # Python-scalar 0.0: statically elides the per-row roll gather
+    # (rotation lives in the background coords + entity phases).
     tex = compose_from_components(
         comp, omega_rows, edge, density_p98, struct_scale, row_stats,
-        jnp.float32(0.0), enable_rt, color_temp,
+        0.0, enable_rt, color_temp,
     )
     return comp, tex
 
@@ -218,7 +220,7 @@ class DynamicDiskSystem:
             p98, scale, row_stats = _recompute_stats(comp, self.edge)
             tex = compose_from_components(
                 comp, self.omega_rows, self.edge, p98, scale, row_stats,
-                jnp.float32(0.0), self.enable_rt, jnp.float32(self.color_temp),
+                0.0, self.enable_rt, jnp.float32(self.color_temp),
             )
         elif recompute_stats:
             self.density_p98, self.struct_scale, self.row_stats = (
@@ -226,7 +228,7 @@ class DynamicDiskSystem:
             )
             tex = compose_from_components(
                 comp, self.omega_rows, self.edge, self.density_p98,
-                self.struct_scale, self.row_stats, jnp.float32(0.0),
+                self.struct_scale, self.row_stats, 0.0,
                 self.enable_rt, jnp.float32(self.color_temp),
             )
         return tex
