@@ -130,6 +130,7 @@ def build_sharded_frame_renderer(
                 t_offset=t_off,
                 use_lod=use_diff,
                 aa_strength=float(cfg.aa_strength),
+                image_shape=(rows_local, width),
             )
             img = jnp.clip(bg + disk_rgb, 0.0, 1.0)
             return img.reshape(rows_local, width, 3)

@@ -192,6 +192,7 @@ def build_sharded_video_renderer(
                 t_offset=jnp.float32(0.0),
                 use_lod=use_diff,
                 aa_strength=float(cfg.aa_strength),
+                image_shape=(height, width),
             )
             shape = (height, width, 3)
             bg_img = bg_rgb.reshape(shape)

@@ -52,15 +52,22 @@ def shade_frame(
     use_lod: bool,
     aa_strength: float,
     color_temp: float = DISK_COLOR_TEMPERATURE,
+    image_shape: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Deferred shading over recorded hits.
 
     Textures arrive quad-packed (ops.sampling.pack_quad / pack_quad_mips)
-    so each bilinear sample costs ONE gather. Slots 0-1 shade
+    so each bilinear sample costs ONE gather. Slot 0 shades
     unconditionally (populated in essentially every disk frame, and
-    straight-line code lets XLA fuse both passes); slots >= 2 — the
-    rare ghost-image crossings — are skipped via lax.cond when no ray
-    reached them.
+    straight-line code lets XLA fuse the pass); slots >= 1 — the
+    ghost-image crossings — are skipped via lax.cond when no ray
+    reached them, and when ``image_shape`` (h, w) is given they shade
+    over a dynamically positioned h/2 x w/2 crop window instead of the
+    full frame: multi-crossing rays cluster around the photon ring
+    (measured: hc>=2 rays occupy ~15% of the FHD bench frame), and TPU
+    gathers are per-index bound, so cropping cuts the ghost-slot
+    texture gather 4x. Falls back to the full-frame pass whenever the
+    window cannot cover every hc>=2 ray, so results are exact always.
 
     Returns (bg_rgb, disk_rgb, alpha_total), each (N, ...) flattened over
     pixels. Front-to-back alpha compositing over the K hit slots
@@ -79,9 +86,8 @@ def shade_frame(
         dtex_h, dtex_w = disk_qmips.shape[1], disk_qmips.shape[2]
         max_hits = jnp.max(trace.hit_count)
 
-        def shade_slot(k, accum, alpha_total):
-            feat = trace.hits[k]  # (HIT_FEATURES, N)
-            valid = k < trace.hit_count
+        def shade_slot_core(feat, hit_count, k, accum, alpha_total):
+            valid = k < hit_count
             hit_x, hit_y = feat[0], feat[1]
             ray_dir = feat[2:5].T
             if use_lod:
@@ -128,22 +134,89 @@ def shade_frame(
             alpha_total = 1.0 - front * (1.0 - disk_alpha)
             return accum, alpha_total
 
-        for k in range(k_slots):
-            if k < 2:
-                # Slots 0-1 are populated in essentially every disk
-                # frame; shading them unconditionally lets XLA fuse both
-                # slot passes (a lax.cond materializes its carried
-                # accum/alpha operands either way).
-                accum, alpha_total = shade_slot(k, accum, alpha_total)
-            else:
-                # Skip slots no ray reached this frame — saves the
-                # gathers for the rare ghost-image slots.
-                accum, alpha_total = jax.lax.cond(
-                    k < max_hits,
-                    lambda acc, al, k=k: shade_slot(k, acc, al),
-                    lambda acc, al: (acc, al),
-                    accum, alpha_total,
+        def shade_slot(k, accum, alpha_total):
+            return shade_slot_core(
+                trace.hits[k], trace.hit_count, k, accum, alpha_total
+            )
+
+        # Ghost-slot crop window: the smallest h/2 x w/2 window whose
+        # top-left covers every hc>=2 ray. Degenerate (and unused, via
+        # `covered`) when there are none.
+        use_window = (
+            image_shape is not None
+            and k_slots > 1
+            and int(image_shape[0]) * int(image_shape[1]) == n
+            and int(image_shape[0]) >= 2
+            and int(image_shape[1]) >= 2
+        )
+        if use_window:
+            ih, iw = int(image_shape[0]), int(image_shape[1])
+            wh, ww = ih // 2, iw // 2
+            ghost = (trace.hit_count >= 2).reshape(ih, iw)
+            rows_any = jnp.any(ghost, axis=1)
+            cols_any = jnp.any(ghost, axis=0)
+            first_row = jnp.argmax(rows_any)
+            last_row = ih - 1 - jnp.argmax(rows_any[::-1])
+            first_col = jnp.argmax(cols_any)
+            last_col = iw - 1 - jnp.argmax(cols_any[::-1])
+            r0 = jnp.clip(first_row, 0, ih - wh).astype(jnp.int32)
+            c0 = jnp.clip(first_col, 0, iw - ww).astype(jnp.int32)
+            covered = (last_row < r0 + wh) & (last_col < c0 + ww)
+
+            def shade_slot_windowed(k, accum, alpha_total):
+                n_feat = trace.hits.shape[1]
+                feat_hw = trace.hits[k].reshape(n_feat, ih, iw)
+                feat_w = jax.lax.dynamic_slice(
+                    feat_hw, (jnp.int32(0), r0, c0), (n_feat, wh, ww)
+                ).reshape(n_feat, wh * ww)
+                hc_w = jax.lax.dynamic_slice(
+                    trace.hit_count.reshape(ih, iw), (r0, c0), (wh, ww)
+                ).reshape(wh * ww)
+                accum_hw = accum.reshape(ih, iw, 3)
+                alpha_hw = alpha_total.reshape(ih, iw)
+                acc_w = jax.lax.dynamic_slice(
+                    accum_hw, (r0, c0, jnp.int32(0)), (wh, ww, 3)
+                ).reshape(wh * ww, 3)
+                al_w = jax.lax.dynamic_slice(
+                    alpha_hw, (r0, c0), (wh, ww)
+                ).reshape(wh * ww)
+                acc_w, al_w = shade_slot_core(feat_w, hc_w, k, acc_w, al_w)
+                accum_hw = jax.lax.dynamic_update_slice(
+                    accum_hw, acc_w.reshape(wh, ww, 3),
+                    (r0, c0, jnp.int32(0)),
                 )
+                alpha_hw = jax.lax.dynamic_update_slice(
+                    alpha_hw, al_w.reshape(wh, ww), (r0, c0)
+                )
+                return accum_hw.reshape(n, 3), alpha_hw.reshape(n)
+
+        # Slot 0 is populated in essentially every disk frame; shading
+        # it unconditionally lets XLA fuse the pass (a lax.cond
+        # materializes its carried accum/alpha operands either way).
+        accum, alpha_total = shade_slot(0, accum, alpha_total)
+        for k in range(1, k_slots):
+            # Skip slots no ray reached this frame — saves the gathers
+            # for the ghost-image slots. When reached AND the crop
+            # window covers every multi-crossing ray, shade the window
+            # only (4x fewer gather indices); otherwise fall back to
+            # the exact full-frame pass.
+            if use_window:
+                def populated(acc, al, k=k):
+                    return jax.lax.cond(
+                        covered,
+                        lambda a, b: shade_slot_windowed(k, a, b),
+                        lambda a, b: shade_slot(k, a, b),
+                        acc, al,
+                    )
+            else:
+                def populated(acc, al, k=k):
+                    return shade_slot(k, acc, al)
+            accum, alpha_total = jax.lax.cond(
+                k < max_hits,
+                populated,
+                lambda acc, al: (acc, al),
+                accum, alpha_total,
+            )
 
     bg = jnp.where(
         trace.escaped[:, None],
@@ -361,6 +434,7 @@ class Renderer:
                     t_offset=t_offset,
                     use_lod=use_diff,
                     aa_strength=float(cfg.aa_strength),
+                    image_shape=(self.height, self.width),
                 )
 
             def shade_nodisk(trace, skybox_q, disk_qmips, cam_pos, t_offset):
