@@ -38,6 +38,79 @@ from .ops.sampling import (
 from .ops.shading import apply_g_factor
 
 
+def _ghost_window(hit_count: jnp.ndarray, ih: int, iw: int):
+    """Position an (ih//2, iw//2) crop window covering every multi-
+    crossing (hit_count >= 2) ray, if possible.
+
+    Multi-crossing rays cluster around the photon ring (measured: ~15%
+    of the FHD bench frame), and TPU gathers are per-index bound, so
+    shading ghost slots over a quarter-size window cuts their texture
+    gathers 4x. Returns (r0, c0, covered, wh, ww); when ``covered`` is
+    False the caller must use the full-frame pass (exactness is never
+    traded for the optimization).
+    """
+    wh, ww = ih // 2, iw // 2
+    ghost = (hit_count >= 2).reshape(ih, iw)
+    rows_any = jnp.any(ghost, axis=1)
+    cols_any = jnp.any(ghost, axis=0)
+    first_row = jnp.argmax(rows_any)
+    last_row = ih - 1 - jnp.argmax(rows_any[::-1])
+    first_col = jnp.argmax(cols_any)
+    last_col = iw - 1 - jnp.argmax(cols_any[::-1])
+    r0 = jnp.clip(first_row, 0, ih - wh).astype(jnp.int32)
+    c0 = jnp.clip(first_col, 0, iw - ww).astype(jnp.int32)
+    covered = (last_row < r0 + wh) & (last_col < c0 + ww)
+    return r0, c0, covered, wh, ww
+
+
+def _shade_slot_in_window(
+    shade_core, hits_k, hit_count, k, accum, alpha_total,
+    ih, iw, r0, c0, wh, ww,
+):
+    """Run one hit-slot shading pass on the crop window only.
+
+    Crops the slot features + carried accum/alpha with dynamic_slice,
+    applies ``shade_core`` (which must leave pixels with no valid hit
+    untouched), and pastes the results back. Outside the window the
+    slot has no valid hits by construction, so this is exact.
+    """
+    n = hits_k.shape[1]
+    n_feat = hits_k.shape[0]
+    feat_w = jax.lax.dynamic_slice(
+        hits_k.reshape(n_feat, ih, iw), (jnp.int32(0), r0, c0),
+        (n_feat, wh, ww),
+    ).reshape(n_feat, wh * ww)
+    hc_w = jax.lax.dynamic_slice(
+        hit_count.reshape(ih, iw), (r0, c0), (wh, ww)
+    ).reshape(wh * ww)
+    accum_hw = accum.reshape(ih, iw, 3)
+    alpha_hw = alpha_total.reshape(ih, iw)
+    acc_w = jax.lax.dynamic_slice(
+        accum_hw, (r0, c0, jnp.int32(0)), (wh, ww, 3)
+    ).reshape(wh * ww, 3)
+    al_w = jax.lax.dynamic_slice(
+        alpha_hw, (r0, c0), (wh, ww)
+    ).reshape(wh * ww)
+    acc_w, al_w = shade_core(feat_w, hc_w, k, acc_w, al_w)
+    accum_hw = jax.lax.dynamic_update_slice(
+        accum_hw, acc_w.reshape(wh, ww, 3), (r0, c0, jnp.int32(0))
+    )
+    alpha_hw = jax.lax.dynamic_update_slice(
+        alpha_hw, al_w.reshape(wh, ww), (r0, c0)
+    )
+    return accum_hw.reshape(n, 3), alpha_hw.reshape(n)
+
+
+def _valid_window_shape(image_shape, k_slots: int, n: int) -> bool:
+    return (
+        image_shape is not None
+        and k_slots > 1
+        and int(image_shape[0]) * int(image_shape[1]) == n
+        and int(image_shape[0]) >= 2
+        and int(image_shape[1]) >= 2
+    )
+
+
 def shade_frame(
     trace: geodesic.TraceResult,
     skybox_q: jnp.ndarray,
@@ -139,56 +212,16 @@ def shade_frame(
                 trace.hits[k], trace.hit_count, k, accum, alpha_total
             )
 
-        # Ghost-slot crop window: the smallest h/2 x w/2 window whose
-        # top-left covers every hc>=2 ray. Degenerate (and unused, via
-        # `covered`) when there are none.
-        use_window = (
-            image_shape is not None
-            and k_slots > 1
-            and int(image_shape[0]) * int(image_shape[1]) == n
-            and int(image_shape[0]) >= 2
-            and int(image_shape[1]) >= 2
-        )
+        use_window = _valid_window_shape(image_shape, k_slots, n)
         if use_window:
             ih, iw = int(image_shape[0]), int(image_shape[1])
-            wh, ww = ih // 2, iw // 2
-            ghost = (trace.hit_count >= 2).reshape(ih, iw)
-            rows_any = jnp.any(ghost, axis=1)
-            cols_any = jnp.any(ghost, axis=0)
-            first_row = jnp.argmax(rows_any)
-            last_row = ih - 1 - jnp.argmax(rows_any[::-1])
-            first_col = jnp.argmax(cols_any)
-            last_col = iw - 1 - jnp.argmax(cols_any[::-1])
-            r0 = jnp.clip(first_row, 0, ih - wh).astype(jnp.int32)
-            c0 = jnp.clip(first_col, 0, iw - ww).astype(jnp.int32)
-            covered = (last_row < r0 + wh) & (last_col < c0 + ww)
+            r0, c0, covered, wh, ww = _ghost_window(trace.hit_count, ih, iw)
 
             def shade_slot_windowed(k, accum, alpha_total):
-                n_feat = trace.hits.shape[1]
-                feat_hw = trace.hits[k].reshape(n_feat, ih, iw)
-                feat_w = jax.lax.dynamic_slice(
-                    feat_hw, (jnp.int32(0), r0, c0), (n_feat, wh, ww)
-                ).reshape(n_feat, wh * ww)
-                hc_w = jax.lax.dynamic_slice(
-                    trace.hit_count.reshape(ih, iw), (r0, c0), (wh, ww)
-                ).reshape(wh * ww)
-                accum_hw = accum.reshape(ih, iw, 3)
-                alpha_hw = alpha_total.reshape(ih, iw)
-                acc_w = jax.lax.dynamic_slice(
-                    accum_hw, (r0, c0, jnp.int32(0)), (wh, ww, 3)
-                ).reshape(wh * ww, 3)
-                al_w = jax.lax.dynamic_slice(
-                    alpha_hw, (r0, c0), (wh, ww)
-                ).reshape(wh * ww)
-                acc_w, al_w = shade_slot_core(feat_w, hc_w, k, acc_w, al_w)
-                accum_hw = jax.lax.dynamic_update_slice(
-                    accum_hw, acc_w.reshape(wh, ww, 3),
-                    (r0, c0, jnp.int32(0)),
+                return _shade_slot_in_window(
+                    shade_slot_core, trace.hits[k], trace.hit_count, k,
+                    accum, alpha_total, ih, iw, r0, c0, wh, ww,
                 )
-                alpha_hw = jax.lax.dynamic_update_slice(
-                    alpha_hw, al_w.reshape(wh, ww), (r0, c0)
-                )
-                return accum_hw.reshape(n, 3), alpha_hw.reshape(n)
 
         # Slot 0 is populated in essentially every disk frame; shading
         # it unconditionally lets XLA fuse the pass (a lax.cond
@@ -240,6 +273,7 @@ def shade_frame_v2(
     palette: str = "cinematic",
     n_samples: int = 8,
     color_temp: float = DISK_COLOR_TEMPERATURE,
+    image_shape: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Disk V2 deferred shading: emission-absorption slab integration.
 
@@ -248,7 +282,10 @@ def shade_frame_v2(
     crossing, integrate j * exp(-tau) through the finite-thickness slab
     along the ray, map (intensity, temperature) through the palette, and
     apply the same relativistic g-factor shading and front-to-back
-    compositing as the V1 path.
+    compositing as the V1 path. Ghost slots (>= 1) use the same crop
+    window as shade_frame when ``image_shape`` is given — the win is
+    larger here because each slot runs an n_samples-point volume
+    integration per ray, not just a texture gather.
     """
     from .models.disk_v2.integrator import integrate_emission
     from .models.disk_v2.palette import apply_palette
@@ -270,9 +307,8 @@ def shade_frame_v2(
             [x, y * cos_t + z * sin_t, -y * sin_t + z * cos_t], axis=-1
         )
 
-    def shade_slot(k, accum, alpha_total):
-        feat = trace.hits[k]
-        valid = k < trace.hit_count
+    def shade_slot_core(feat, hit_count, k, accum, alpha_total):
+        valid = k < hit_count
         hit_x, hit_y = feat[0], feat[1]
         hit_z = hit_y * tan_t
         hit_pos_w = jnp.stack([hit_x, hit_y, hit_z], axis=-1)
@@ -302,10 +338,34 @@ def shade_frame_v2(
         alpha_total = 1.0 - front * (1.0 - alpha)
         return accum, alpha_total
 
+    def shade_slot(k, accum, alpha_total):
+        return shade_slot_core(
+            trace.hits[k], trace.hit_count, k, accum, alpha_total
+        )
+
+    use_window = _valid_window_shape(image_shape, k_slots, n)
+    if use_window:
+        ih, iw = int(image_shape[0]), int(image_shape[1])
+        r0, c0, covered, wh, ww = _ghost_window(trace.hit_count, ih, iw)
+
     for k in range(k_slots):
+        if k >= 1 and use_window:
+            def populated(acc, al, k=k):
+                return jax.lax.cond(
+                    covered,
+                    lambda a, b, k=k: _shade_slot_in_window(
+                        shade_slot_core, trace.hits[k], trace.hit_count,
+                        k, a, b, ih, iw, r0, c0, wh, ww,
+                    ),
+                    lambda a, b, k=k: shade_slot(k, a, b),
+                    acc, al,
+                )
+        else:
+            def populated(acc, al, k=k):
+                return shade_slot(k, acc, al)
         accum, alpha_total = jax.lax.cond(
             k < max_hits,
-            lambda acc, al, k=k: shade_slot(k, acc, al),
+            populated,
             lambda acc, al: (acc, al),
             accum, alpha_total,
         )
@@ -419,6 +479,7 @@ class Renderer:
                         v2_params=v2_params, v2_structure=None,
                         tilt_deg=float(cfg.disk_tilt),
                         t_offset=t_offset,
+                        image_shape=(self.height, self.width),
                     )
 
                 fn = jax.jit(shade_v2)
