@@ -60,7 +60,9 @@ class TraceResult(NamedTuple):
     escape_dir: jnp.ndarray  # (N, 3) unit direction for skybox lookup
     hit_count: jnp.ndarray  # (N,) int32 number of recorded disk crossings
     hits: jnp.ndarray  # (K, HIT_FEATURES, N)
-    steps: jnp.ndarray  # () int32 — iterations executed (diagnostics)
+    steps: jnp.ndarray  # () int32 lock-step iterations, or (N,) int32
+    # per-ray RK4 step counts when record_step_counts=True (diagnostics
+    # / the Mray-steps/s benchmark metric)
 
 
 def acceleration(pos: jnp.ndarray, l2: jnp.ndarray) -> jnp.ndarray:
@@ -139,6 +141,7 @@ def _rk4_differential(pos, d_pos, d_dir, l2, h, stages):
         "with_differentials",
         "max_crossings",
         "record_hits",
+        "record_step_counts",
     ),
 )
 def trace_geodesics(
@@ -156,6 +159,7 @@ def trace_geodesics(
     d_dir_dy0: Optional[jnp.ndarray] = None,
     max_crossings: int = MAX_DISK_CROSSINGS,
     record_hits: bool = True,
+    record_step_counts: bool = False,
 ) -> TraceResult:
     """Integrate N photon geodesics and record disk-plane crossings.
 
@@ -213,6 +217,8 @@ def trace_geodesics(
         hits=jnp.zeros((n, max_crossings, HIT_FEATURES), dtype),
         step=jnp.zeros((), jnp.int32),
     )
+    if record_step_counts:
+        state["ray_steps"] = jnp.zeros((n,), jnp.int32)
 
     ray_ids = jnp.arange(n, dtype=jnp.int32)
 
@@ -293,7 +299,7 @@ def trace_geodesics(
             hit_count = hit_count + record.astype(jnp.int32)
 
         keep = survive[:, None]
-        return dict(
+        new_state = dict(
             pos=jnp.where(keep, new_pos, pos),
             dir=jnp.where(keep, new_dir, dirv),
             d_pos_dx=jnp.where(keep, nd_pos_dx, s["d_pos_dx"]),
@@ -309,6 +315,9 @@ def trace_geodesics(
             hits=hits,
             step=s["step"] + 1,
         )
+        if record_step_counts:
+            new_state["ray_steps"] = s["ray_steps"] + active.astype(jnp.int32)
+        return new_state
 
     final = jax.lax.while_loop(cond, body, state)
     return TraceResult(
@@ -318,7 +327,7 @@ def trace_geodesics(
         hit_count=final["hit_count"],
         # Internal scatter layout is (N, K, F); canonical is (K, F, N).
         hits=jnp.transpose(final["hits"], (1, 2, 0)),
-        steps=final["step"],
+        steps=final["ray_steps"] if record_step_counts else final["step"],
     )
 
 

@@ -100,6 +100,7 @@ def build_ray_march_kernel(
     block_cols: int = BLOCK_COLS,
     max_iter_override: Optional[int] = None,
     exit_check_every: Optional[int] = None,
+    record_step_counts: bool = False,
     interpret: bool = False,
 ):
     """Build the tiled ray-march pallas_call for a static configuration.
@@ -131,7 +132,7 @@ def build_ray_march_kernel(
     grid = (hp // block_rows, wp // block_cols)
 
     def kernel(cam_ref, captured_ref, escaped_ref, escdir_ref, count_ref,
-               hits_ref):
+               hits_ref, *extra_refs):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
 
@@ -201,6 +202,9 @@ def build_ray_march_kernel(
             jnp.zeros((k_slots, n_feat) + shape, jnp.float32),  # 11 hits
             jnp.int32(0),              # 12 step
         )
+        if record_step_counts:
+            # 13: per-ray useful-step counter (diagnostics / Mray-steps/s)
+            state = state + (jnp.zeros(shape, jnp.int32),)
 
         def cond(s):
             return jnp.logical_and(s[12] < max_iter, jnp.max(s[7]) > 0.5)
@@ -372,7 +376,7 @@ def build_ray_march_kernel(
                 new_dp_dx, new_dd_dx = s[2], s[3]
                 new_dp_dy, new_dd_dy = s[4], s[5]
 
-            return (
+            out = (
                 (sel(npx, px), sel(npy, py), sel(npz, pz)),
                 (sel_a(nvx, vx), sel_a(nvy, vy), sel_a(nvz, vz)),
                 new_dp_dx,
@@ -387,6 +391,9 @@ def build_ray_march_kernel(
                 hits,
                 s[12] + 1,
             )
+            if record_step_counts:
+                out = out + (s[13] + active.astype(jnp.int32),)
+            return out
 
         if exit_check_every > 1:
             # Amortize the tile-wide "all rays done" max-reduction (and
@@ -422,6 +429,8 @@ def build_ray_march_kernel(
             hits_ref[:, 0:5] = hits[:, 0:5]
             hits_ref[:, 5:11] = zeros6
             hits_ref[:, 11:12] = hits[:, 5:6]
+        if record_step_counts:
+            extra_refs[0][:, :] = final[13]
 
     out_shapes = (
         jax.ShapeDtypeStruct((hp, wp), jnp.float32),  # captured
@@ -445,6 +454,14 @@ def build_ray_march_kernel(
             memory_space=pltpu.VMEM,
         ),
     )
+    if record_step_counts:
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        )
+        out_specs = out_specs + (
+            pl.BlockSpec((block_rows, block_cols), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        )
 
     call = pl.pallas_call(
         kernel,
@@ -468,7 +485,7 @@ def build_ray_march_kernel(
         "width", "height", "h_base", "r_escape", "rs", "tilt_deg",
         "r_inner", "r_outer", "with_differentials", "max_crossings",
         "record_hits", "block_rows", "block_cols", "exit_check_every",
-        "interpret",
+        "record_step_counts", "interpret",
     ),
 )
 def trace_geodesics_pallas(
@@ -488,21 +505,26 @@ def trace_geodesics_pallas(
     block_rows: int = BLOCK_ROWS,
     block_cols: int = BLOCK_COLS,
     exit_check_every: Optional[int] = None,
+    record_step_counts: bool = False,
     interpret: bool = False,
 ) -> TraceResult:
     """Tiled Pallas trace -> TraceResult with flat (H*W) ray order.
 
     ``cam_params`` is the (14,) camera vector (see CAM_PARAMS layout).
     Output matches ops/geodesic.trace_geodesics on the same scene.
+    With ``record_step_counts`` the kernel also counts the RK4 steps
+    each ray actually integrates (``TraceResult.steps`` becomes (N,)
+    int32) — diagnostics / the Mray-steps/s benchmark metric.
     """
     run, (hp, wp) = build_ray_march_kernel(
         width=width, height=height, h_base=h_base, r_escape=r_escape,
         rs=rs, tilt_deg=tilt_deg, r_inner=r_inner, r_outer=r_outer,
         with_differentials=with_differentials, max_crossings=max_crossings,
         record_hits=record_hits, block_rows=block_rows, block_cols=block_cols,
-        exit_check_every=exit_check_every, interpret=interpret,
+        exit_check_every=exit_check_every,
+        record_step_counts=record_step_counts, interpret=interpret,
     )
-    captured, escaped, escdir, count, hits = run(cam_params)
+    captured, escaped, escdir, count, hits, *extra = run(cam_params)
 
     captured = captured[:height, :width]
     escaped = escaped[:height, :width]
@@ -511,13 +533,17 @@ def trace_geodesics_pallas(
     hits = hits[:, :, :height, :width]
 
     n = height * width
+    if record_step_counts:
+        steps = extra[0][:height, :width].reshape(n)
+    else:
+        steps = jnp.zeros((), jnp.int32)
     return TraceResult(
         captured=captured.reshape(n) > 0.5,
         escaped=escaped.reshape(n) > 0.5,
         escape_dir=escdir.reshape(3, n).T,
         hit_count=count.reshape(n),
         hits=hits.reshape(max_crossings, HIT_FEATURES, n),
-        steps=jnp.zeros((), jnp.int32),
+        steps=steps,
     )
 
 
