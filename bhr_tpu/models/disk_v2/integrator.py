@@ -95,25 +95,31 @@ def integrate_emission(
     r_s = jnp.sqrt(pts[..., 0] ** 2 + pts[..., 1] ** 2)
     z_s = pts[..., 2]
 
-    # Thin-slab factorization: the structure modulation varies on disk
+    # Thin-slab modulation: the structure modulation varies on disk
     # scales (m=1/2 modes, low-frequency shear texture, hotspot radii)
-    # — far larger than the slab segment — so it is evaluated ONCE per
-    # crossing and factored out of the quadrature. Measured: per-sample
-    # evaluation was ~95% of the integrator's TPU time at FHD (the
-    # hotspot Gaussian sum dominates); factoring it out is a 3-4x
-    # integrator speedup with O((H/r)^2 * F'') error.
+    # — larger than the slab segment — so instead of evaluating the
+    # full stack at every quadrature sample (measured: ~95% of the
+    # integrator's TPU time at FHD; the hotspot Gaussian sum dominates)
+    # it is evaluated at the segment's ENTRY and EXIT points only and
+    # linearly interpolated across samples. The two-point lerp keeps
+    # first-order accuracy for grazing rays, whose segment can sweep a
+    # large azimuth arc (half_len up to 20 H at the inv_dz cap) where a
+    # single midpoint sample would misplace hotspot edges.
     rho_s = density_field(r_s, z_s, params)
     temp_s = temperature_field(r_s, z_s, params)
-    phi_hit = jnp.arctan2(hit_pos[:, 1], hit_pos[:, 0])
-    mod = structure_modulation(
-        r_hit, phi_hit, params, structure_params, seed=seed, t=t
+    ends = jnp.concatenate([pts[:, 0, :], pts[:, -1, :]], axis=0)  # (2N,3)
+    r_ends = jnp.sqrt(ends[:, 0] ** 2 + ends[:, 1] ** 2)
+    phi_ends = jnp.arctan2(ends[:, 1], ends[:, 0])
+    mod_ends = structure_modulation(
+        r_ends, phi_ends, params, structure_params, seed=seed, t=t
     )
-    # Materialize mod before the (N, S) broadcast: XLA's producer
-    # fusion otherwise recomputes the whole modulation stack once per
-    # sample inside the S-shaped fused loop (measured 26 -> 8 ms at
-    # FHD from this barrier alone).
-    mod = jax.lax.optimization_barrier(mod)
-    j = rho_s * temp_s * mod[:, None] * emission_scale
+    # Materialize before the (N, S) broadcast: XLA's producer fusion
+    # otherwise recomputes the whole modulation stack once per sample
+    # inside the S-shaped fused loop (measured 26 -> 8 ms at FHD).
+    mod_ends = jax.lax.optimization_barrier(mod_ends)
+    n = hit_pos.shape[0]
+    mod = mod_ends[:n, None] * (1.0 - u)[None, :] + mod_ends[n:, None] * u[None, :]
+    j = rho_s * temp_s * mod * emission_scale
     absorb = rho_s
     dtau = absorb * opacity_scale * ds
 

@@ -10,6 +10,16 @@ Advection hook (the reference's planned phi_adv, design_ad_v2.md:
 370-405): every layer takes an optional time `t`; coordinates advect as
 phi_adv = phi - Omega(r) * t, giving differential rotation of the
 static pattern.
+
+Deviation from the reference: the reference normalizes shear/hotspot
+fields by the max over the *evaluated batch*
+(disk_v2/structure_modulations.py:27-44) — well-defined there because
+it only ever evaluates dense (r, phi) grids. This renderer evaluates
+sparse per-ray point sets, where batch-max normalization would make a
+pixel's value depend on which other pixels share the frame (and differ
+between the windowed and full shading passes). Normalization here uses
+the pattern's max over a fixed dense lattice instead — a compile-time
+constant, identical for every evaluation set.
 """
 
 from __future__ import annotations
@@ -24,9 +34,33 @@ from .physical_fields import angular_velocity_field
 
 
 def _normalize_signed(value: jnp.ndarray) -> jnp.ndarray:
-    """Scale an arbitrary field to [-1, 1] (zeros stay zero)."""
+    """Scale an arbitrary field to [-1, 1] by its batch max (zeros stay
+    zero). Matches the reference's dense-grid semantics; for per-ray
+    evaluation use a batch-independent constant instead (see
+    `_lattice_max_abs`) — with this form the output of one point depends
+    on which other points share the batch."""
     max_abs = jnp.max(jnp.abs(value))
     return jnp.where(max_abs > 1e-15, value / jnp.maximum(max_abs, 1e-15), 0.0)
+
+
+# Fixed normalization lattice: the raw shear/hotspot patterns are
+# functions of (phi_adv, log r) only, so their global max over full phi
+# coverage is advection-invariant. Evaluating the max on this static
+# lattice makes the normalization a *compile-time constant* — per-ray
+# modulation no longer depends on which other rays share the batch
+# (window pass == full pass; no frame-to-frame normalization flicker).
+# 512 phi x 128 log-r samples resolve the narrowest default hotspot
+# core (sigma ~0.1 rad -> ~8 samples/sigma).
+_LATTICE_PHI = 512
+_LATTICE_LOGR = 128
+
+
+def _lattice_max_abs(raw_fn, log_span: float) -> jnp.ndarray:
+    """max |raw_fn(phi, log_r)| over the fixed (phi, log r) lattice."""
+    phi_l = jnp.linspace(0.0, 2.0 * jnp.pi, _LATTICE_PHI, endpoint=False)
+    logr_l = jnp.linspace(0.0, max(log_span, 1e-6), _LATTICE_LOGR)
+    raw = raw_fn(phi_l[None, :], logr_l[:, None])
+    return jnp.maximum(jnp.max(jnp.abs(raw)), 1e-15)
 
 
 def _wrapped_delta_phi(phi: jnp.ndarray, center: float) -> jnp.ndarray:
@@ -79,18 +113,28 @@ def shear_modulation(
     phi = _advected_phi(r, phi, params, t)
     log_r = _log_radius(r, params)
 
-    raw = jnp.zeros(jnp.broadcast_shapes(r.shape, phi.shape))
+    terms = []
     for idx in range(sp.shear_components):
         m = int(rng.integers(2, 10))
         n = int(rng.integers(1, 6))
         psi = float(rng.uniform(0.0, 2.0 * np.pi))
-        amp = 0.5**idx
-        raw = raw + amp * jnp.cos(m * phi + n * log_r + psi)
-        raw = raw + 0.6 * amp * jnp.sin(
-            (m + 1) * phi - (n + 0.5) * log_r + 0.7 * psi
-        )
+        terms.append((m, n, psi, 0.5**idx))
 
-    signed = _normalize_signed(raw)
+    def raw_fn(phi_a, log_r_a):
+        raw = jnp.zeros(jnp.broadcast_shapes(
+            jnp.shape(phi_a), jnp.shape(log_r_a)
+        ))
+        for m, n, psi, amp in terms:
+            raw = raw + amp * jnp.cos(m * phi_a + n * log_r_a + psi)
+            raw = raw + 0.6 * amp * jnp.sin(
+                (m + 1) * phi_a - (n + 0.5) * log_r_a + 0.7 * psi
+            )
+        return raw
+
+    log_span = float(np.log(params.r_out / params.r_in))
+    signed = jnp.clip(
+        raw_fn(phi, log_r) / _lattice_max_abs(raw_fn, log_span), -1.0, 1.0
+    )
     window = disk_radial_weight(r, params)
     return jnp.where(window > 0.0, 1.0 + sp.shear_strength * signed, 1.0)
 
@@ -111,24 +155,38 @@ def hotspot_modulation(
     log_span = float(np.log(params.r_out / params.r_in))
     halo_phi, halo_logr, halo_w = 1.8, 1.8, 0.6
 
-    raw = jnp.zeros(jnp.broadcast_shapes(r.shape, phi.shape))
+    spots = []
     for _ in range(sp.hotspot_count):
         center_phi = float(rng.uniform(0.0, 2.0 * np.pi))
         center_logr = float(
             (rng.uniform(0.0, 1.0) ** sp.hotspot_inner_bias) * log_span
         )
         weight = float(rng.uniform(0.6, 1.0))
+        spots.append((center_phi, center_logr, weight))
 
-        d_phi = _wrapped_delta_phi(phi, center_phi)
-        d_logr = (log_r - center_logr) / sp.hotspot_logr_sigma
-        core = jnp.exp(-0.5 * (d_phi / sp.hotspot_phi_sigma) ** 2 - 0.5 * d_logr**2)
-        halo = jnp.exp(
-            -0.5 * (d_phi / (halo_phi * sp.hotspot_phi_sigma)) ** 2
-            - 0.5 * ((log_r - center_logr) / (halo_logr * sp.hotspot_logr_sigma)) ** 2
-        )
-        raw = raw + weight * (core - halo_w * halo)
+    def raw_fn(phi_a, log_r_a):
+        raw = jnp.zeros(jnp.broadcast_shapes(
+            jnp.shape(phi_a), jnp.shape(log_r_a)
+        ))
+        for center_phi, center_logr, weight in spots:
+            d_phi = _wrapped_delta_phi(phi_a, center_phi)
+            d_logr = (log_r_a - center_logr) / sp.hotspot_logr_sigma
+            core = jnp.exp(
+                -0.5 * (d_phi / sp.hotspot_phi_sigma) ** 2 - 0.5 * d_logr**2
+            )
+            halo = jnp.exp(
+                -0.5 * (d_phi / (halo_phi * sp.hotspot_phi_sigma)) ** 2
+                - 0.5 * ((log_r_a - center_logr)
+                         / (halo_logr * sp.hotspot_logr_sigma)) ** 2
+            )
+            raw = raw + weight * (core - halo_w * halo)
+        return raw
 
-    signed = _normalize_signed(raw)
+    if not spots:
+        return jnp.ones(jnp.broadcast_shapes(r.shape, jnp.shape(phi)))
+    signed = jnp.clip(
+        raw_fn(phi, log_r) / _lattice_max_abs(raw_fn, log_span), -1.0, 1.0
+    )
     window = disk_radial_weight(r, params)
     return jnp.where(window > 0.0, 1.0 + sp.hotspot_strength * signed, 1.0)
 

@@ -111,6 +111,53 @@ def _valid_window_shape(image_shape, k_slots: int, n: int) -> bool:
     )
 
 
+def _shade_ghost_slots(
+    shade_core, trace, k_slots, max_hits, accum, alpha_total, image_shape
+):
+    """Shade hit slots 1..K-1 (the ghost-image crossings).
+
+    Shared by the V1 texture and V2 volume shaders. Slots no ray
+    reached are skipped via lax.cond; when ``image_shape`` is valid and
+    the h/2 x w/2 crop window covers every multi-crossing ray, each
+    populated slot shades over the window only (4x fewer gather/
+    integration lanes) — falling back to the exact full-frame pass via
+    the ``covered`` cond otherwise. ``shade_core(feat, hit_count, k,
+    accum, alpha) -> (accum, alpha)`` must leave lanes with no valid
+    hit untouched.
+    """
+    n = trace.hits.shape[2]
+    use_window = _valid_window_shape(image_shape, k_slots, n)
+    if use_window:
+        ih, iw = int(image_shape[0]), int(image_shape[1])
+        r0, c0, covered, wh, ww = _ghost_window(trace.hit_count, ih, iw)
+
+    def shade_full(k, acc, al):
+        return shade_core(trace.hits[k], trace.hit_count, k, acc, al)
+
+    for k in range(1, k_slots):
+        if use_window:
+            def populated(acc, al, k=k):
+                return jax.lax.cond(
+                    covered,
+                    lambda a, b, k=k: _shade_slot_in_window(
+                        shade_core, trace.hits[k], trace.hit_count, k,
+                        a, b, ih, iw, r0, c0, wh, ww,
+                    ),
+                    lambda a, b, k=k: shade_full(k, a, b),
+                    acc, al,
+                )
+        else:
+            def populated(acc, al, k=k):
+                return shade_full(k, acc, al)
+        accum, alpha_total = jax.lax.cond(
+            k < max_hits,
+            populated,
+            lambda acc, al: (acc, al),
+            accum, alpha_total,
+        )
+    return accum, alpha_total
+
+
 def shade_frame(
     trace: geodesic.TraceResult,
     skybox_q: jnp.ndarray,
@@ -212,44 +259,14 @@ def shade_frame(
                 trace.hits[k], trace.hit_count, k, accum, alpha_total
             )
 
-        use_window = _valid_window_shape(image_shape, k_slots, n)
-        if use_window:
-            ih, iw = int(image_shape[0]), int(image_shape[1])
-            r0, c0, covered, wh, ww = _ghost_window(trace.hit_count, ih, iw)
-
-            def shade_slot_windowed(k, accum, alpha_total):
-                return _shade_slot_in_window(
-                    shade_slot_core, trace.hits[k], trace.hit_count, k,
-                    accum, alpha_total, ih, iw, r0, c0, wh, ww,
-                )
-
         # Slot 0 is populated in essentially every disk frame; shading
         # it unconditionally lets XLA fuse the pass (a lax.cond
         # materializes its carried accum/alpha operands either way).
         accum, alpha_total = shade_slot(0, accum, alpha_total)
-        for k in range(1, k_slots):
-            # Skip slots no ray reached this frame — saves the gathers
-            # for the ghost-image slots. When reached AND the crop
-            # window covers every multi-crossing ray, shade the window
-            # only (4x fewer gather indices); otherwise fall back to
-            # the exact full-frame pass.
-            if use_window:
-                def populated(acc, al, k=k):
-                    return jax.lax.cond(
-                        covered,
-                        lambda a, b: shade_slot_windowed(k, a, b),
-                        lambda a, b: shade_slot(k, a, b),
-                        acc, al,
-                    )
-            else:
-                def populated(acc, al, k=k):
-                    return shade_slot(k, acc, al)
-            accum, alpha_total = jax.lax.cond(
-                k < max_hits,
-                populated,
-                lambda acc, al: (acc, al),
-                accum, alpha_total,
-            )
+        accum, alpha_total = _shade_ghost_slots(
+            shade_slot_core, trace, k_slots, max_hits, accum, alpha_total,
+            image_shape,
+        )
 
     bg = jnp.where(
         trace.escaped[:, None],
@@ -343,32 +360,16 @@ def shade_frame_v2(
             trace.hits[k], trace.hit_count, k, accum, alpha_total
         )
 
-    use_window = _valid_window_shape(image_shape, k_slots, n)
-    if use_window:
-        ih, iw = int(image_shape[0]), int(image_shape[1])
-        r0, c0, covered, wh, ww = _ghost_window(trace.hit_count, ih, iw)
-
-    for k in range(k_slots):
-        if k >= 1 and use_window:
-            def populated(acc, al, k=k):
-                return jax.lax.cond(
-                    covered,
-                    lambda a, b, k=k: _shade_slot_in_window(
-                        shade_slot_core, trace.hits[k], trace.hit_count,
-                        k, a, b, ih, iw, r0, c0, wh, ww,
-                    ),
-                    lambda a, b, k=k: shade_slot(k, a, b),
-                    acc, al,
-                )
-        else:
-            def populated(acc, al, k=k):
-                return shade_slot(k, acc, al)
-        accum, alpha_total = jax.lax.cond(
-            k < max_hits,
-            populated,
-            lambda acc, al: (acc, al),
-            accum, alpha_total,
-        )
+    accum, alpha_total = jax.lax.cond(
+        0 < max_hits,
+        lambda acc, al: shade_slot(0, acc, al),
+        lambda acc, al: (acc, al),
+        accum, alpha_total,
+    )
+    accum, alpha_total = _shade_ghost_slots(
+        shade_slot_core, trace, k_slots, max_hits, accum, alpha_total,
+        image_shape,
+    )
 
     bg = jnp.where(
         trace.escaped[:, None],

@@ -132,9 +132,11 @@ def test_window_v2_matches_full():
 
     ref = shade(None)
     win = shade((H, W))
-    # Not bit-exact: XLA fuses the integrator's exp/pow chains
-    # differently for the cropped shape (measured max diff ~1.5e-5 on
-    # the ghost pixels themselves); the V1 texture path IS bit-exact.
+    # Structure normalization is a fixed lattice constant (see
+    # structure_modulations.py), so windowed and full passes evaluate
+    # identical per-lane math; the remaining tolerance covers fp
+    # reassociation from XLA fusing the cropped shapes differently.
+    # The V1 texture path IS bit-exact.
     for a, b in zip(ref, win):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=0
