@@ -257,3 +257,22 @@ def test_palette_modes():
     assert (cin[:, 2] <= cin[:, 0] + 1e-6).all()
     with pytest.raises(ValueError):
         apply_palette(inten, temp, "bogus")
+
+
+def test_modulation_batch_independent():
+    """A point's modulation must not depend on its batch companions.
+
+    The reference normalizes by batch max (safe on dense grids); the
+    renderer evaluates sparse per-ray sets, so normalization here is a
+    fixed lattice constant — subset evaluation must equal full-batch
+    evaluation exactly, and scalar queries must be meaningful (not
+    saturated to 1 +/- strength).
+    """
+    rng = np.random.default_rng(7)
+    r = jnp.asarray(rng.uniform(P.r_in + 0.2, P.r_out - 0.2, 64))
+    phi = jnp.asarray(rng.uniform(0, 2 * np.pi, 64))
+    full = np.asarray(structure_modulation(r, phi, P))
+    sub = np.asarray(structure_modulation(r[:5], phi[:5], P))
+    np.testing.assert_array_equal(sub, full[:5])
+    one = float(structure_modulation(r[0], phi[0], P))
+    np.testing.assert_allclose(one, full[0], rtol=1e-6)
