@@ -107,7 +107,13 @@ def integrate_emission(
     # single midpoint sample would misplace hotspot edges.
     rho_s = density_field(r_s, z_s, params)
     temp_s = temperature_field(r_s, z_s, params)
-    ends = jnp.concatenate([pts[:, 0, :], pts[:, -1, :]], axis=0)  # (2N,3)
+    ends = jnp.concatenate(
+        [
+            hit_pos - half_len[:, None] * ray_dir,  # segment entry (u=0)
+            hit_pos + half_len[:, None] * ray_dir,  # segment exit (u=1)
+        ],
+        axis=0,
+    )  # (2N, 3)
     r_ends = jnp.sqrt(ends[:, 0] ** 2 + ends[:, 1] ** 2)
     phi_ends = jnp.arctan2(ends[:, 1], ends[:, 0])
     mod_ends = structure_modulation(

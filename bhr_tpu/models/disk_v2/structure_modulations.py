@@ -33,16 +33,6 @@ from .params import DiskV2Params, DiskV2StructureParams
 from .physical_fields import angular_velocity_field
 
 
-def _normalize_signed(value: jnp.ndarray) -> jnp.ndarray:
-    """Scale an arbitrary field to [-1, 1] by its batch max (zeros stay
-    zero). Matches the reference's dense-grid semantics; for per-ray
-    evaluation use a batch-independent constant instead (see
-    `_lattice_max_abs`) — with this form the output of one point depends
-    on which other points share the batch."""
-    max_abs = jnp.max(jnp.abs(value))
-    return jnp.where(max_abs > 1e-15, value / jnp.maximum(max_abs, 1e-15), 0.0)
-
-
 # Fixed normalization lattice: the raw shear/hotspot patterns are
 # functions of (phi_adv, log r) only, so their global max over full phi
 # coverage is advection-invariant. Evaluating the max on this static

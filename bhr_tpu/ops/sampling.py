@@ -84,8 +84,6 @@ def production_tex_dtype():
     TPU (halves gather fetch bytes), f32 elsewhere. Single source of
     truth — the skybox quantization and renderer tex_dtype must agree.
     """
-    import jax
-
     return jnp.uint8 if jax.default_backend() == "tpu" else jnp.float32
 
 
@@ -129,8 +127,6 @@ _GATHER_CHUNK = 1 << 21
 def _take_rows(tab2d: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
     """Row gather `tab2d[flat_idx]`, chunked when the index count is
     large. flat_idx may have any batch shape; returns (*batch, C)."""
-    import jax
-
     batch_shape = flat_idx.shape
     flat = flat_idx.reshape(-1)
     n = flat.shape[0]
