@@ -119,27 +119,36 @@ def _decode_quad(q: jnp.ndarray) -> jnp.ndarray:
 
 # XLA's TPU row gather degrades superlinearly beyond ~2M indices
 # (measured: 2.07M -> 11 ms but 8.3M -> 59 ms, vs 46 ms as 4 chunks);
-# chunk large gathers (4K frames are 8.3M rays) back to the linear
-# regime via lax.map.
+# band large sample batches back to the linear regime via lax.map.
+# Banding the whole gather+decode+blend (not just the take) also keeps
+# the decoded f32 intermediates at band size instead of materializing
+# frame-sized (N, 4C) tensors between fusions — measured at 4K:
+# take-only chunking 140 ms vs full-band 83 ms for the two main passes.
 _GATHER_CHUNK = 1 << 21
 
 
+def _banded_map(fn, *arrays):
+    """Apply ``fn(*bands) -> (band, C)`` over _GATHER_CHUNK-sized bands
+    of equally-shaped flat arrays; single direct call when small."""
+    n = arrays[0].shape[0]
+    if n <= _GATHER_CHUNK:
+        return fn(*arrays)
+    n_bands = -(-n // _GATHER_CHUNK)
+    pad = n_bands * _GATHER_CHUNK - n
+    banded = tuple(
+        jnp.pad(a, (0, pad)).reshape(n_bands, _GATHER_CHUNK) for a in arrays
+    )
+    out = jax.lax.map(lambda t: fn(*t), banded)
+    return out.reshape(n_bands * _GATHER_CHUNK, -1)[:n]
+
+
 def _take_rows(tab2d: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
-    """Row gather `tab2d[flat_idx]`, chunked when the index count is
+    """Row gather `tab2d[flat_idx]`, banded when the index count is
     large. flat_idx may have any batch shape; returns (*batch, C)."""
     batch_shape = flat_idx.shape
-    flat = flat_idx.reshape(-1)
-    n = flat.shape[0]
-    if n <= _GATHER_CHUNK:
-        out = jnp.take(tab2d, flat, axis=0)
-    else:
-        n_chunks = -(-n // _GATHER_CHUNK)
-        pad = n_chunks * _GATHER_CHUNK - n
-        padded = jnp.pad(flat, (0, pad))
-        out = jax.lax.map(
-            lambda ic: jnp.take(tab2d, ic, axis=0),
-            padded.reshape(n_chunks, _GATHER_CHUNK),
-        ).reshape(n_chunks * _GATHER_CHUNK, -1)[:n]
+    out = _banded_map(
+        lambda ic: jnp.take(tab2d, ic, axis=0), flat_idx.reshape(-1)
+    )
     return out.reshape(*batch_shape, tab2d.shape[-1])
 
 
@@ -148,26 +157,38 @@ def _bilinear_quad_gather(
 ) -> jnp.ndarray:
     """Bilinear lookup from a quad-packed texture (one gather per sample)."""
     tex_h, tex_w = qtex.shape[0], qtex.shape[1]
+    batch_shape = u.shape
+    u = u.reshape(-1)
+    v = v.reshape(-1)
     u0 = jnp.floor(u).astype(jnp.int32)
     v0 = jnp.floor(v).astype(jnp.int32)
-    fu = (u - u0.astype(u.dtype))[..., None]
-    fv = (v - v0.astype(v.dtype))[..., None]
-    # Flattened single-axis take: XLA lowers a 1D row gather ~1.5-3x
-    # faster than the equivalent 2D start-index gather on TPU.
-    flat = jnp.clip(v0, 0, tex_h - 1) * tex_w + jnp.mod(u0, tex_w)
-    q = _decode_quad(_take_rows(qtex.reshape(tex_h * tex_w, -1), flat))
-    c = channels
-    c00, c10, c01, c11 = q[..., :c], q[..., c : 2 * c], q[..., 2 * c : 3 * c], q[..., 3 * c :]
+    fu = u - u0.astype(u.dtype)
+    fv = v - v0.astype(v.dtype)
     # v-clamp parity with the 4-gather path: above the top row both
     # sample rows clamp to row 0, i.e. the blend weight must be 0 there
     # (the packed "down" channel would otherwise leak row 1 in).
-    fv = jnp.where(v0[..., None] < 0, 0.0, jnp.clip(fv, 0.0, 1.0))
-    return (
-        c00 * (1 - fu) * (1 - fv)
-        + c10 * fu * (1 - fv)
-        + c01 * (1 - fu) * fv
-        + c11 * fu * fv
-    )
+    fv = jnp.where(v0 < 0, 0.0, jnp.clip(fv, 0.0, 1.0))
+    # Flattened single-axis take: XLA lowers a 1D row gather ~1.5-3x
+    # faster than the equivalent 2D start-index gather on TPU.
+    flat = jnp.clip(v0, 0, tex_h - 1) * tex_w + jnp.mod(u0, tex_w)
+    tab2d = qtex.reshape(tex_h * tex_w, -1)
+    c = channels
+
+    def blend(flat_b, fu_b, fv_b):
+        q = _decode_quad(jnp.take(tab2d, flat_b, axis=0))
+        c00, c10 = q[..., :c], q[..., c : 2 * c]
+        c01, c11 = q[..., 2 * c : 3 * c], q[..., 3 * c :]
+        fu_c = fu_b[..., None]
+        fv_c = fv_b[..., None]
+        return (
+            c00 * (1 - fu_c) * (1 - fv_c)
+            + c10 * fu_c * (1 - fv_c)
+            + c01 * (1 - fu_c) * fv_c
+            + c11 * fu_c * fv_c
+        )
+
+    out = _banded_map(blend, flat, fu, fv)
+    return out.reshape(*batch_shape, c)
 
 
 def sample_skybox_quad(qtexture: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
@@ -250,28 +271,36 @@ def sample_disk_mip_quad(
 
     u0 = jnp.floor(u).astype(jnp.int32)
     v0 = jnp.floor(v).astype(jnp.int32)
-    fu = (u - u0.astype(u.dtype))[..., None]
-    fv = (v - v0.astype(v.dtype))[..., None]
-    fv = jnp.where(v0[..., None] < 0, 0.0, jnp.clip(fv, 0.0, 1.0))
+    fu = u - u0.astype(u.dtype)
+    fv = v - v0.astype(v.dtype)
+    fv = jnp.where(v0 < 0, 0.0, jnp.clip(fv, 0.0, 1.0))
     flat = (
         lod_i * (base_h * base_w)
         + jnp.clip(v0, 0, h_lod_i - 1) * base_w
         + jnp.mod(u0, w_lod_i)
     )
     n_levels_static = qmips.shape[0]
-    q = _decode_quad(
-        _take_rows(
-            qmips.reshape(n_levels_static * base_h * base_w, -1), flat
-        )
-    )
+    tab2d = qmips.reshape(n_levels_static * base_h * base_w, -1)
     c = channels
-    c00, c10, c01, c11 = q[..., :c], q[..., c : 2 * c], q[..., 2 * c : 3 * c], q[..., 3 * c :]
-    return (
-        c00 * (1 - fu) * (1 - fv)
-        + c10 * fu * (1 - fv)
-        + c01 * (1 - fu) * fv
-        + c11 * fu * fv
+    batch_shape = flat.shape
+
+    def blend(flat_b, fu_b, fv_b):
+        q = _decode_quad(jnp.take(tab2d, flat_b, axis=0))
+        c00, c10 = q[..., :c], q[..., c : 2 * c]
+        c01, c11 = q[..., 2 * c : 3 * c], q[..., 3 * c :]
+        fu_c = fu_b[..., None]
+        fv_c = fv_b[..., None]
+        return (
+            c00 * (1 - fu_c) * (1 - fv_c)
+            + c10 * fu_c * (1 - fv_c)
+            + c01 * (1 - fu_c) * fv_c
+            + c11 * fu_c * fv_c
+        )
+
+    out = _banded_map(
+        blend, flat.reshape(-1), fu.reshape(-1), fv.reshape(-1)
     )
+    return out.reshape(*batch_shape, c)
 
 
 def sample_skybox(texture: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
