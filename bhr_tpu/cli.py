@@ -86,13 +86,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="[deprecated]")
     p.add_argument("--ignore_taichi_cache", action="store_true",
                    help="[deprecated] Taichi-specific; the XLA analogue "
-                        "is --compile_cache off (reference render.py:4560)")
+                        "is --no_compile_cache (reference render.py:4560)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax debug_nans (traps NaN/Inf in any "
                         "compiled computation)")
     p.add_argument("--compile_cache", action="store_true",
-                   help="enable the persistent XLA compilation cache")
+                   help="[deprecated] the cache is on by default; "
+                        "disable with --no_compile_cache")
+    p.add_argument("--no_compile_cache", action="store_true",
+                   help="disable the persistent XLA compilation cache "
+                        "(on by default, mirroring the reference's "
+                        "always-on Taichi offline cache, render.py:2222)")
     return p
 
 
@@ -142,7 +147,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", config.device)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    if args.compile_cache:
+    if not args.no_compile_cache:
         from .utils.cache import enable_compile_cache
 
         enable_compile_cache()
