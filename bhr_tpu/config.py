@@ -7,7 +7,7 @@ Parity target: `parse_args`/`validate_args` (/root/reference/render.py:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
 from .constants import (
@@ -87,8 +87,10 @@ class SceneConfig:
 
     def validated(self) -> "SceneConfig":
         """Validate and normalize; raises ValueError on bad input."""
-        fov = self.fov % 180.0
-        if not (0.0 < fov < 180.0):
+        # Out-of-range FOV is an error, not a silent remap (reference
+        # validate_args, render.py:4586-4616 raises on fov outside
+        # (0, 180) — a typo like --fov 190 must not render at 10).
+        if not (0.0 < self.fov < 180.0):
             raise ValueError(f"FOV must be in (0, 180), got {self.fov}")
         if self.disk_inner_radius >= self.disk_outer_radius:
             raise ValueError(
@@ -121,7 +123,7 @@ class SceneConfig:
             )
         if self.resolution not in RESOLUTIONS:
             raise ValueError(f"unknown resolution preset: {self.resolution}")
-        return replace(self, fov=fov)
+        return self
 
 
 def compute_disk_texture_resolution(

@@ -40,6 +40,14 @@ def _build(config: SceneConfig):
     skybox, _, _ = load_or_generate_skybox(
         config.texture, 2048, 1024, config.n_stars, seed=config.skybox_seed
     )
+    # r_escape_quantum: zoom ('+'/'-') changes the camera distance a few
+    # percent per keypress; quantizing r_escape keeps the trace program
+    # stable across zoom steps instead of recompiling per keypress.
+    if config.disk_model == "v2":
+        # V2 shades by volume integration (time advances through the
+        # sampler's t_offset) — no texture or lifecycle system.
+        renderer = Renderer(config, skybox, None, r_escape_quantum=4.0)
+        return renderer, None
     n_phi, n_r = compute_disk_texture_resolution(
         width, height, config.pov, config.fov,
         config.disk_inner_radius, config.disk_outer_radius,
@@ -48,7 +56,10 @@ def _build(config: SceneConfig):
         n_r, n_phi, config.disk_inner_radius, config.disk_outer_radius,
         seed=config.seed,
     )
-    renderer = Renderer(config, skybox, np.zeros((n_r, n_phi, 4), np.float32))
+    renderer = Renderer(
+        config, skybox, np.zeros((n_r, n_phi, 4), np.float32),
+        r_escape_quantum=4.0,
+    )
     return renderer, dynamic
 
 
@@ -74,13 +85,20 @@ def run_headless_preview(config: SceneConfig, n_frames: int = 24,
     base_angle = float(np.arctan2(cam[1], cam[0]))
     dt = config.disk_rotation_speed * 2.0
 
+    speed = max(config.disk_rotation_speed, 1e-9)
     for i in range(n_frames):
         t = i * dt
         angle = base_angle + np.radians(i * 1.5)
         pos = [radius * np.cos(angle), radius * np.sin(angle), cam[2]]
-        tex = dynamic.advance(t, dt, recompute_stats=(i % 60 == 0))
-        renderer.update_disk_texture(tex)
-        img = renderer.render(pos, config.fov, skip_differentials=True)
+        if dynamic is not None:
+            tex = dynamic.advance(t, dt, recompute_stats=(i % 60 == 0))
+            renderer.update_disk_texture(tex)
+            frame = 0  # rotation lives in the advancing texture
+        else:
+            frame = t / speed  # V2: rotation via the sampler's t_offset
+        img = renderer.render(
+            pos, config.fov, frame=frame, skip_differentials=True
+        )
         save_image(img, os.path.join(out_dir, f"preview_{i:03d}.png"))
     print(f"Headless preview: {n_frames} frames in {out_dir}/")
 
@@ -179,14 +197,21 @@ def _run_matplotlib(config: SceneConfig) -> None:
         wall_time += scaled_dt
         frames += 1
 
-        tex = dynamic.advance(
-            wall_time, scaled_dt,
-            recompute_stats=(frames % 60 == 1),
-            solo_idx=state["solo"],
-        )
-        renderer.update_disk_texture(tex)
+        if dynamic is not None:
+            tex = dynamic.advance(
+                wall_time, scaled_dt,
+                recompute_stats=(frames % 60 == 1),
+                solo_idx=state["solo"],
+            )
+            renderer.update_disk_texture(tex)
+            render_frame = 0  # rotation lives in the advancing texture
+        else:
+            # V2 volume disk: rotation via the sampler's t_offset.
+            render_frame = wall_time / max(
+                config.disk_rotation_speed, 1e-9
+            )
         img = renderer.render(
-            cam_pos(), state["fov"],
+            cam_pos(), state["fov"], frame=render_frame,
             skip_differentials=not state["diff"],
             skip_bloom=not state["bloom"],
             lens_flare=state["flare"],
@@ -199,7 +224,8 @@ def _run_matplotlib(config: SceneConfig) -> None:
             f"{fps:.0f} FPS | D:{'ON' if state['diff'] else 'off'} "
             f"B:{'ON' if state['bloom'] else 'off'} "
             f"L:{'ON' if state['flare'] else 'off'} | "
-            f"E:{dynamic.entity_count}{solo_txt}\n"
+            f"E:{dynamic.entity_count if dynamic is not None else 0}"
+            f"{solo_txt}\n"
             f"r={state['r']:.1f} fov={state['fov']:.0f} t={wall_time:.1f}"
         )
         fig.canvas.draw_idle()

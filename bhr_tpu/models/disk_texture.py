@@ -730,9 +730,16 @@ def compose_from_state(state: ParametricDiskState, t_offset: float = 0.0,
                        color_temp: Optional[float] = None) -> jnp.ndarray:
     """Texture at rotation time t_offset from a precomputed state."""
     ct = state.color_temp if color_temp is None else float(color_temp)
+    # Host scalars pass through unwrapped so compose_from_components can
+    # statically elide the per-row roll gather at t_offset == 0.
+    t = (
+        t_offset
+        if isinstance(t_offset, (int, float))
+        else jnp.float32(t_offset)
+    )
     return compose_from_components(
         state.comp, state.omega_rows, state.edge, state.density_p98,
-        state.struct_scale, state.row_stats, jnp.float32(t_offset),
+        state.struct_scale, state.row_stats, t,
         state.enable_rt, jnp.float32(ct),
     )
 

@@ -52,7 +52,8 @@ def _dynamic_step(
         generation_scale=generation_scale,
     )
     staging = accumulate_entity_layer(
-        fil_params, hs_params, rt_params, omega_rows, n_r, n_phi
+        fil_params, hs_params, rt_params, omega_rows, n_r, n_phi,
+        phi_scale=generation_scale,
     )
     comp = jnp.concatenate(
         [bg[0:5], staging, bg[5:7]], axis=0
@@ -232,6 +233,30 @@ class DynamicDiskSystem:
                 self.enable_rt, jnp.float32(self.color_temp),
             )
         return tex
+
+    def refresh_stats(self, t: float) -> None:
+        """Recompute normalization stats from the CURRENT factory state
+        at time ``t`` without ticking the factories.
+
+        Used by video resume: the replay loop ticks factories frame by
+        frame and calls this at the frame an uninterrupted run last
+        recomputed stats, reproducing its normalization exactly.
+        """
+        fil, hs, rt = self._pack(t)
+        comp, _ = _dynamic_step(
+            fil, hs, rt, self.omega_rows, self.edge,
+            self.density_p98, self.struct_scale, self.row_stats,
+            jnp.float32(self.az_freq), jnp.float32(self.az_shear),
+            jnp.float32(self.r_inner), jnp.float32(self.r_outer),
+            jnp.float32(t),
+            self.n_r, self.n_phi, self.enable_rt,
+            jnp.float32(self.color_temp),
+            generation_scale=self.generation_scale,
+        )
+        self.comp = comp
+        self.density_p98, self.struct_scale, self.row_stats = (
+            _recompute_stats(comp, self.edge)
+        )
 
     def _solo_comp(self, comp: jnp.ndarray, solo_idx: int) -> jnp.ndarray:
         """Zero all components except the soloed density/temp pair;

@@ -60,9 +60,12 @@ class TraceResult(NamedTuple):
     escape_dir: jnp.ndarray  # (N, 3) unit direction for skybox lookup
     hit_count: jnp.ndarray  # (N,) int32 number of recorded disk crossings
     hits: jnp.ndarray  # (K, HIT_FEATURES, N)
-    steps: jnp.ndarray  # () int32 lock-step iterations, or (N,) int32
-    # per-ray RK4 step counts when record_step_counts=True (diagnostics
-    # / the Mray-steps/s benchmark metric)
+    steps: jnp.ndarray  # (N,) int32 per-ray RK4 step counts when
+    # record_step_counts=True (diagnostics / the Mray-steps/s benchmark
+    # metric). Without that flag the field is backend-dependent filler —
+    # the pure-JAX tracer returns its () lock-step trip count, the
+    # Pallas tracer a () zero (tiles run independent loops; there is no
+    # global count) — and must not be consumed.
 
 
 def acceleration(pos: jnp.ndarray, l2: jnp.ndarray) -> jnp.ndarray:

@@ -385,6 +385,10 @@ def render_video_sharded(config: SceneConfig) -> None:
                 frames[i], os.path.join(temp_dir, f"frame_{f:04d}.png")
             )
             completed.add(f)
+        # Flush pending PNGs before recording them as completed — a
+        # crash between the two would otherwise lose frames permanently
+        # under resume (progress says done, no PNG on disk).
+        writer.drain()
         with open(progress_file, "w") as fh:
             json.dump({"params": params, "completed": sorted(completed)}, fh)
         if (b + 1) % 10 == 0 or b == n_batches - 1:

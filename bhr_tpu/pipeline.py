@@ -31,6 +31,8 @@ from .ops.sampling import (
     build_mipmaps,
     pack_quad,
     pack_quad_mips,
+    production_tex_dtype,
+    quantize_packed,
     sample_disk_mip_quad,
     sample_disk_quad,
     sample_skybox_quad,
@@ -397,18 +399,28 @@ class Renderer:
         disk_tex: Optional[np.ndarray],
         mip_levels: int = 4,
         use_pallas: Optional[bool] = None,
+        r_escape_quantum: float = 0.0,
     ):
         self.config = config
+        # r_escape is a static arg of the trace program, so every new
+        # value compiles a new kernel. Interactive zoom changes the
+        # camera distance every keypress; a nonzero quantum rounds
+        # r_escape UP to that grid, bounding recompiles (rays merely
+        # escape a little later — exactness is per-config, unchanged
+        # within a quantum bucket). 0.0 keeps the exact value
+        # (production/golden paths).
+        self.r_escape_quantum = float(r_escape_quantum)
         self.width, self.height = config.image_size
         self.skybox = jnp.asarray(skybox, dtype=jnp.float32)
-        # Textures are stored quad-packed in bf16 on TPU: gathers are
-        # byte-bound, and bf16's ~2 decimal digits exceed the 8-bit
-        # precision of typical texture content.
-        self.tex_dtype = (
-            jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-        )
+        # Textures are stored quad-packed in the production storage
+        # dtype (ops.sampling.production_tex_dtype): gamma-2 uint8
+        # bitcast to uint32 words on TPU (fastest row gathers, error
+        # below the 8-bit PNG output quantization), f32 elsewhere —
+        # the same policy as the sharded video engine, so cross-engine
+        # frames agree to within texture quantization.
+        self.tex_dtype = production_tex_dtype()
         self.skybox_q = jax.jit(
-            lambda t: pack_quad(t).astype(self.tex_dtype)
+            lambda t: quantize_packed(pack_quad(t), self.tex_dtype)
         )(self.skybox)
         self.mip_levels = mip_levels
         self.num_mip_levels = 1
@@ -423,7 +435,9 @@ class Renderer:
 
         def _mip_and_pack(tex):
             mips = build_mipmaps(tex, levels=mip_levels)
-            qmips = pack_quad_mips(mips, mips.shape[0]).astype(self.tex_dtype)
+            qmips = quantize_packed(
+                pack_quad_mips(mips, mips.shape[0]), self.tex_dtype
+            )
             return mips, qmips
 
         self._mip_fn = jax.jit(_mip_and_pack)
@@ -442,8 +456,8 @@ class Renderer:
         """Install an externally built (device) mip pyramid directly."""
         self.disk_mips = mips
         self.disk_qmips = jax.jit(
-            lambda m: pack_quad_mips(m, int(mips.shape[0])).astype(
-                self.tex_dtype
+            lambda m: quantize_packed(
+                pack_quad_mips(m, int(mips.shape[0])), self.tex_dtype
             )
         )(mips)
         self.num_mip_levels = int(mips.shape[0])
@@ -462,7 +476,7 @@ class Renderer:
 
     def _shade_fn(self, use_diff: bool):
         key = ("shade", use_diff, self.num_mip_levels,
-               self.config.disk_model)
+               self.config.disk_model, self.disk_qmips is not None)
         fn = self._frame_fns.get(key)
         if fn is None:
             cfg = self.config
@@ -571,6 +585,9 @@ class Renderer:
         camera = build_camera(cam_pos, fov, self.width, self.height)
         distance = float(np.linalg.norm(np.asarray(cam_pos, dtype=np.float64)))
         r_escape = max(self.config.r_max, distance * 2.0)
+        if self.r_escape_quantum > 0.0:
+            q = self.r_escape_quantum
+            r_escape = float(np.ceil(r_escape / q) * q)
         use_diff = (
             self.config.anti_alias != "disabled" and not skip_differentials
         )

@@ -60,6 +60,41 @@ def test_video_resume_skips_completed(tiny_cfg, tmp_path):
     ) == mtime0
 
 
+def test_video_v2_disk_advances(tiny_cfg, tmp_path):
+    # Regression: the sequential video path must advance the V2 volume
+    # disk through the sampler's t_offset — with a static camera, two
+    # frames must differ (the disk pattern advects by Omega * dt).
+    cfg = dataclasses.replace(
+        tiny_cfg, video=True, orbit=False, disk_model="v2", n_frames=2,
+        output=str(tmp_path / "v2.mp4"),
+    )
+    render_video(cfg)
+    from PIL import Image
+
+    frames = sorted(glob.glob(str(tmp_path / ".frames_*" / "frame_*.png")))
+    assert len(frames) == 2
+    a = np.asarray(Image.open(frames[0]))
+    b = np.asarray(Image.open(frames[1]))
+    assert (a != b).any(), "V2 disk must rotate between video frames"
+
+
+def test_refresh_stats_updates_normalization():
+    # Regression: video resume replay refreshes normalization stats at
+    # the last frame % 60 == 0 point so resumed frames don't render
+    # with the permissive init stats.
+    from bhr_tpu.models.dynamic_disk import DynamicDiskSystem
+
+    dyn = DynamicDiskSystem(32, 64, 2.0, 3.5, seed=3)
+    p98_init = float(dyn.density_p98)
+    for f in range(3):
+        for fac in dyn.factories.values():
+            fac.tick(now=f * 0.1, dt=0.1)
+    dyn.refresh_stats(0.2)
+    assert float(dyn.density_p98) != p98_init
+    assert np.isfinite(float(dyn.density_p98))
+    assert np.isfinite(np.asarray(dyn.row_stats)).all()
+
+
 def test_video_param_change_invalidates(tiny_cfg, tmp_path):
     cfg = dataclasses.replace(tiny_cfg, video=True)
     render_video(cfg)
@@ -104,7 +139,14 @@ def test_cli_invalid_rejected():
         config_from_args(args)
 
 
-def test_cli_fov_wraps_mod_180():
-    # fov % 180 like the reference __main__ (render.py:4625).
+def test_cli_fov_out_of_range_rejected():
+    # The reference validates BEFORE its (dead) fov % 180 line:
+    # validate_args raises on fov outside (0, 180) (render.py:4589)
+    # and only then __main__ computes args.fov % 180 (render.py:4625),
+    # an identity for every value that survives validation.
     args = build_parser().parse_args(["--fov", "250"])
-    assert config_from_args(args).fov == 70.0
+    with pytest.raises(ValueError):
+        config_from_args(args)
+    assert config_from_args(
+        build_parser().parse_args(["--fov", "70"])
+    ).fov == 70.0
