@@ -56,28 +56,6 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
-def _accel(px, py, pz, neg_15_l2):
-    """a = -1.5 L2 pos / r^5; neg_15_l2 = -1.5 * L2 precomputed."""
-    r2 = px * px + py * py + pz * pz
-    inv_r5 = jax.lax.rsqrt(r2) / (r2 * r2)  # 1 / r^5
-    f = neg_15_l2 * inv_r5
-    return f * px, f * py, f * pz
-
-
-def _accel_jac(px, py, pz, dx, dy, dz, neg_15_l2):
-    """J(pos) @ d = -1.5 L2 / r^5 (d - 5 pos (pos.d)/r^2)."""
-    r2 = px * px + py * py + pz * pz
-    inv_r2 = 1.0 / r2
-    inv_r5 = jax.lax.rsqrt(r2) * inv_r2 * inv_r2
-    f = neg_15_l2 * inv_r5
-    proj = (px * dx + py * dy + pz * dz) * inv_r2
-    return (
-        f * (dx - 5.0 * px * proj),
-        f * (dy - 5.0 * py * proj),
-        f * (dz - 5.0 * pz * proj),
-    )
-
-
 def _normalize3(x, y, z):
     inv = jax.lax.rsqrt(x * x + y * y + z * z + 1e-18)
     return x * inv, y * inv, z * inv
@@ -229,19 +207,38 @@ def build_ray_march_kernel(
             near = 1.0 / (1.0 + 2.0 * (rs / r_safe) ** 3)
             h = h_base * jnp.clip(far * near, 0.2, 10.0)
 
-            # RK4 of (pos, dir).
+            # RK4 of (pos, dir). In AA mode the stage radial factors
+            # (f = -1.5 L^2 / r^5 and 1/r^2) are computed once per
+            # stage and shared with the two Jacobian transports below —
+            # the variational equation is evaluated at the SAME four
+            # stage positions as the acceleration. The non-AA branch
+            # keeps _accel's exact expression tree (bit-exact goldens).
+            def stage_f(sx, sy, sz):
+                r2_ = sx * sx + sy * sy + sz * sz
+                if with_differentials:
+                    inv_r2_ = 1.0 / r2_
+                    inv_r5_ = jax.lax.rsqrt(r2_) * inv_r2_ * inv_r2_
+                else:
+                    inv_r2_ = None
+                    inv_r5_ = jax.lax.rsqrt(r2_) / (r2_ * r2_)
+                return neg_15_l2 * inv_r5_, inv_r2_
+
+            s1x, s1y, s1z = px, py, pz
+            f1, i1 = stage_f(s1x, s1y, s1z)
             k1px, k1py, k1pz = h * vx, h * vy, h * vz
-            a1x, a1y, a1z = _accel(px, py, pz, neg_15_l2)
-            k1dx, k1dy, k1dz = h * a1x, h * a1y, h * a1z
+            k1dx, k1dy, k1dz = h * (f1 * s1x), h * (f1 * s1y), h * (f1 * s1z)
             k2px, k2py, k2pz = h * (vx + 0.5 * k1dx), h * (vy + 0.5 * k1dy), h * (vz + 0.5 * k1dz)
-            a2x, a2y, a2z = _accel(px + 0.5 * k1px, py + 0.5 * k1py, pz + 0.5 * k1pz, neg_15_l2)
-            k2dx, k2dy, k2dz = h * a2x, h * a2y, h * a2z
+            s2x, s2y, s2z = px + 0.5 * k1px, py + 0.5 * k1py, pz + 0.5 * k1pz
+            f2, i2 = stage_f(s2x, s2y, s2z)
+            k2dx, k2dy, k2dz = h * (f2 * s2x), h * (f2 * s2y), h * (f2 * s2z)
             k3px, k3py, k3pz = h * (vx + 0.5 * k2dx), h * (vy + 0.5 * k2dy), h * (vz + 0.5 * k2dz)
-            a3x, a3y, a3z = _accel(px + 0.5 * k2px, py + 0.5 * k2py, pz + 0.5 * k2pz, neg_15_l2)
-            k3dx, k3dy, k3dz = h * a3x, h * a3y, h * a3z
+            s3x, s3y, s3z = px + 0.5 * k2px, py + 0.5 * k2py, pz + 0.5 * k2pz
+            f3, i3 = stage_f(s3x, s3y, s3z)
+            k3dx, k3dy, k3dz = h * (f3 * s3x), h * (f3 * s3y), h * (f3 * s3z)
             k4px, k4py, k4pz = h * (vx + k3dx), h * (vy + k3dy), h * (vz + k3dz)
-            a4x, a4y, a4z = _accel(px + k3px, py + k3py, pz + k3pz, neg_15_l2)
-            k4dx, k4dy, k4dz = h * a4x, h * a4y, h * a4z
+            s4x, s4y, s4z = px + k3px, py + k3py, pz + k3pz
+            f4, i4 = stage_f(s4x, s4y, s4z)
+            k4dx, k4dy, k4dz = h * (f4 * s4x), h * (f4 * s4y), h * (f4 * s4z)
 
             sixth = 1.0 / 6.0
             npx = px + (k1px + 2 * k2px + 2 * k3px + k4px) * sixth
@@ -252,31 +249,37 @@ def build_ray_march_kernel(
             nvz = vz + (k1dz + 2 * k2dz + 2 * k3dz + k4dz) * sixth
 
             if with_differentials:
+                def jac(f_, inv_r2_, sx, sy, sz, dx_, dy_, dz_):
+                    # J(s) @ d with the stage factors computed above.
+                    proj = (sx * dx_ + sy * dy_ + sz * dz_) * inv_r2_
+                    return (
+                        f_ * (dx_ - 5.0 * sx * proj),
+                        f_ * (dy_ - 5.0 * sy * proj),
+                        f_ * (dz_ - 5.0 * sz * proj),
+                    )
+
                 def diff_rk4(dp, dd):
                     dpx, dpy, dpz = dp
                     ddx, ddy, ddz = dd
                     q1px, q1py, q1pz = h * ddx, h * ddy, h * ddz
-                    j1x, j1y, j1z = _accel_jac(px, py, pz, dpx, dpy, dpz, neg_15_l2)
+                    j1x, j1y, j1z = jac(f1, i1, s1x, s1y, s1z, dpx, dpy, dpz)
                     q1dx, q1dy, q1dz = h * j1x, h * j1y, h * j1z
                     q2px, q2py, q2pz = h * (ddx + 0.5 * q1dx), h * (ddy + 0.5 * q1dy), h * (ddz + 0.5 * q1dz)
-                    j2x, j2y, j2z = _accel_jac(
-                        px + 0.5 * k1px, py + 0.5 * k1py, pz + 0.5 * k1pz,
+                    j2x, j2y, j2z = jac(
+                        f2, i2, s2x, s2y, s2z,
                         dpx + 0.5 * q1px, dpy + 0.5 * q1py, dpz + 0.5 * q1pz,
-                        neg_15_l2,
                     )
                     q2dx, q2dy, q2dz = h * j2x, h * j2y, h * j2z
                     q3px, q3py, q3pz = h * (ddx + 0.5 * q2dx), h * (ddy + 0.5 * q2dy), h * (ddz + 0.5 * q2dz)
-                    j3x, j3y, j3z = _accel_jac(
-                        px + 0.5 * k2px, py + 0.5 * k2py, pz + 0.5 * k2pz,
+                    j3x, j3y, j3z = jac(
+                        f3, i3, s3x, s3y, s3z,
                         dpx + 0.5 * q2px, dpy + 0.5 * q2py, dpz + 0.5 * q2pz,
-                        neg_15_l2,
                     )
                     q3dx, q3dy, q3dz = h * j3x, h * j3y, h * j3z
                     q4px, q4py, q4pz = h * (ddx + q3dx), h * (ddy + q3dy), h * (ddz + q3dz)
-                    j4x, j4y, j4z = _accel_jac(
-                        px + k3px, py + k3py, pz + k3pz,
+                    j4x, j4y, j4z = jac(
+                        f4, i4, s4x, s4y, s4z,
                         dpx + q3px, dpy + q3py, dpz + q3pz,
-                        neg_15_l2,
                     )
                     q4dx, q4dy, q4dz = h * j4x, h * j4y, h * j4z
                     ndp = (
