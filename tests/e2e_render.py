@@ -39,8 +39,13 @@ XB_MAX_ABS_TOL = 5e-2
 XB_MEAN_ABS_TOL = 5e-4
 
 
-def render_e2e_scene() -> np.ndarray:
-    """The pinned golden scene, deterministic given the backend."""
+def render_e2e_scene(aa: bool = False) -> np.ndarray:
+    """The pinned golden scene, deterministic given the backend.
+
+    ``aa=True`` renders the same scene with ray-differential AA
+    (diff RK4 transport + mip-LOD sampling) — a separate golden family
+    covering the code paths the non-AA scene never touches.
+    """
     from bhr_tpu.config import SceneConfig
     from bhr_tpu.modes import render_image
 
@@ -55,42 +60,43 @@ def render_e2e_scene() -> np.ndarray:
         disk_inner_radius=2.0,
         disk_outer_radius=3.5,
         disk_tilt=15.0,
-        anti_alias="disabled",
+        anti_alias="lod_radius" if aa else "disabled",
         seed=42,
     ).validated()
     return render_image(config)
 
 
-def golden_path() -> str:
+def golden_path(aa: bool = False) -> str:
     import jax
 
     backend = jax.default_backend()
-    return os.path.join(GOLDEN_DIR, f"e2e_{backend}.npz")
+    suffix = "_aa" if aa else ""
+    return os.path.join(GOLDEN_DIR, f"e2e_{backend}{suffix}.npz")
 
 
-def generate() -> int:
-    img = render_e2e_scene()
+def generate(aa: bool = False) -> int:
+    img = render_e2e_scene(aa)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    path = golden_path()
+    path = golden_path(aa)
     digest = hashlib.md5(img.tobytes()).hexdigest()
     np.savez_compressed(path, image=img, md5=digest)
     print(f"Golden written: {path} (md5 {digest})")
     return 0
 
 
-def verify() -> int:
-    path = golden_path()
+def verify(aa: bool = False) -> int:
+    path = golden_path(aa)
     if not os.path.exists(path):
         print(f"No golden at {path}; run with --generate first")
         return 2
     data = np.load(path, allow_pickle=True)
     golden = data["image"]
-    img = render_e2e_scene()
+    img = render_e2e_scene(aa)
 
     digest = hashlib.md5(img.tobytes()).hexdigest()
     if digest == str(data["md5"]):
         print(f"PASS (bit-exact, md5 {digest})")
-        return 0 if _verify_cross_backend(img) else 1
+        return 0 if _verify_cross_backend(img, aa) else 1
 
     diff = np.abs(img.astype(np.float64) - golden.astype(np.float64))
     max_abs = diff.max()
@@ -100,12 +106,13 @@ def verify() -> int:
           and outliers <= OUTLIER_FRAC)
     print(f"{'PASS' if ok else 'FAIL'} (tolerance): max={max_abs:.2e} "
           f"mean={mean_abs:.2e} outliers={outliers:.4%}")
-    ok = _verify_cross_backend(img) and ok
+    ok = _verify_cross_backend(img, aa) and ok
     return 0 if ok else 1
 
 
-def _verify_cross_backend(img: np.ndarray) -> bool:
-    """Compare against every OTHER backend's golden (loose bounds).
+def _verify_cross_backend(img: np.ndarray, aa: bool = False) -> bool:
+    """Compare against every OTHER backend's golden of the SAME scene
+    family (loose bounds).
 
     Catches backend-specific bugs (Pallas kernel vs pure-JAX loop,
     texture-precision paths) that same-backend goldens absorb.
@@ -114,10 +121,13 @@ def _verify_cross_backend(img: np.ndarray) -> bool:
 
     import jax
 
-    own = f"e2e_{jax.default_backend()}.npz"
+    suffix = "_aa" if aa else ""
+    own = f"e2e_{jax.default_backend()}{suffix}.npz"
+    pattern = f"e2e_*{suffix}.npz" if aa else "e2e_*.npz"
     ok = True
-    for path in sorted(glob.glob(os.path.join(GOLDEN_DIR, "e2e_*.npz"))):
-        if os.path.basename(path) == own:
+    for path in sorted(glob.glob(os.path.join(GOLDEN_DIR, pattern))):
+        base = os.path.basename(path)
+        if base == own or (not aa and base.endswith("_aa.npz")):
             continue
         other = np.load(path, allow_pickle=True)["image"]
         if other.shape != img.shape:
@@ -142,8 +152,10 @@ def main() -> int:
     group = ap.add_mutually_exclusive_group(required=True)
     group.add_argument("--generate", action="store_true")
     group.add_argument("--verify", action="store_true")
+    ap.add_argument("--aa", action="store_true",
+                    help="use the ray-differential AA golden scene")
     args = ap.parse_args()
-    return generate() if args.generate else verify()
+    return generate(args.aa) if args.generate else verify(args.aa)
 
 
 if __name__ == "__main__":

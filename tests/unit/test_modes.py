@@ -60,6 +60,38 @@ def test_video_resume_skips_completed(tiny_cfg, tmp_path):
     ) == mtime0
 
 
+def test_failed_png_write_never_marked_completed(tiny_cfg, tmp_path,
+                                                 monkeypatch):
+    # Regression: progress.json must only record frames whose PNGs are
+    # actually on disk (writer.drain() before the progress write). With
+    # the old submit-then-record order, a failed async write left the
+    # frame "completed" forever and resume skipped it permanently.
+    import bhr_tpu.utils.io as io_mod
+
+    real_save = io_mod.save_image
+    fail_once = {"armed": True}
+
+    def flaky_save(img, path):
+        if "frame_0001" in path and fail_once["armed"]:
+            fail_once["armed"] = False
+            raise OSError("simulated disk-full")
+        return real_save(img, path)
+
+    monkeypatch.setattr(io_mod, "save_image", flaky_save)
+    cfg = dataclasses.replace(tiny_cfg, video=True)
+    with pytest.raises(OSError):
+        render_video(cfg)
+
+    # Whatever progress exists must not claim the lost frame.
+    for progress in glob.glob(str(tmp_path / ".frames_*" / "progress.json")):
+        assert 1 not in json.load(open(progress)).get("completed", [])
+
+    # A resume (or restart) run must produce every frame.
+    render_video(dataclasses.replace(cfg, resume=True))
+    frames = sorted(glob.glob(str(tmp_path / ".frames_*" / "frame_*.png")))
+    assert len(frames) == 3
+
+
 def test_video_v2_disk_advances(tiny_cfg, tmp_path):
     # Regression: the sequential video path must advance the V2 volume
     # disk through the sampler's t_offset — with a static camera, two

@@ -40,6 +40,9 @@ def main() -> int:
     rc = e2e_render.verify()
     if rc != 0:
         failures.append(f"e2e golden verify rc={rc}")
+    rc_aa = e2e_render.verify(aa=True)
+    if rc_aa != 0:
+        failures.append(f"e2e AA golden verify rc={rc_aa}")
 
     # -- 2. sharded dynamic video renderer ----------------------------------
     from bhr_tpu.config import SceneConfig, compute_disk_texture_resolution
