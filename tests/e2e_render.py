@@ -39,17 +39,34 @@ XB_MAX_ABS_TOL = 5e-2
 XB_MEAN_ABS_TOL = 5e-4
 
 
-def render_e2e_scene(aa: bool = False) -> np.ndarray:
-    """The pinned golden scene, deterministic given the backend.
+# Golden scene families. All share the pinned reference geometry; each
+# family covers code paths the others never touch:
+#   default — plain texture disk, AA off.
+#   aa      — ray-differential AA (diff RK4 transport + mip-LOD).
+#   v2      — disk_v2 volume renderer (slab radiative transfer).
+# ``aa=True`` is accepted as an alias for scene="aa".
+SCENES = {
+    "default": {},
+    "aa": {"anti_alias": "lod_radius"},
+    "v2": {"disk_model": "v2"},
+}
+_SUFFIXES = {name: ("" if name == "default" else f"_{name}")
+             for name in SCENES}
 
-    ``aa=True`` renders the same scene with ray-differential AA
-    (diff RK4 transport + mip-LOD sampling) — a separate golden family
-    covering the code paths the non-AA scene never touches.
-    """
+
+def _scene_name(scene, aa: bool) -> str:
+    name = "aa" if aa else (scene or "default")
+    if name not in SCENES:
+        raise ValueError(f"unknown golden scene {name!r}")
+    return name
+
+
+def render_e2e_scene(scene: str = "default", aa: bool = False) -> np.ndarray:
+    """The pinned golden scene, deterministic given the backend."""
     from bhr_tpu.config import SceneConfig
     from bhr_tpu.modes import render_image
 
-    config = SceneConfig(
+    kwargs = dict(
         width=320,
         height=180,
         pov=(6.0, 0.0, 0.5),
@@ -60,43 +77,46 @@ def render_e2e_scene(aa: bool = False) -> np.ndarray:
         disk_inner_radius=2.0,
         disk_outer_radius=3.5,
         disk_tilt=15.0,
-        anti_alias="lod_radius" if aa else "disabled",
+        anti_alias="disabled",
         seed=42,
-    ).validated()
-    return render_image(config)
+    )
+    kwargs.update(SCENES[_scene_name(scene, aa)])
+    return render_image(SceneConfig(**kwargs).validated())
 
 
-def golden_path(aa: bool = False) -> str:
+def golden_path(scene: str = "default", aa: bool = False) -> str:
     import jax
 
     backend = jax.default_backend()
-    suffix = "_aa" if aa else ""
+    suffix = _SUFFIXES[_scene_name(scene, aa)]
     return os.path.join(GOLDEN_DIR, f"e2e_{backend}{suffix}.npz")
 
 
-def generate(aa: bool = False) -> int:
-    img = render_e2e_scene(aa)
+def generate(scene: str = "default", aa: bool = False) -> int:
+    scene = _scene_name(scene, aa)
+    img = render_e2e_scene(scene)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    path = golden_path(aa)
+    path = golden_path(scene)
     digest = hashlib.md5(img.tobytes()).hexdigest()
     np.savez_compressed(path, image=img, md5=digest)
     print(f"Golden written: {path} (md5 {digest})")
     return 0
 
 
-def verify(aa: bool = False) -> int:
-    path = golden_path(aa)
+def verify(scene: str = "default", aa: bool = False) -> int:
+    scene = _scene_name(scene, aa)
+    path = golden_path(scene)
     if not os.path.exists(path):
         print(f"No golden at {path}; run with --generate first")
         return 2
     data = np.load(path, allow_pickle=True)
     golden = data["image"]
-    img = render_e2e_scene(aa)
+    img = render_e2e_scene(scene)
 
     digest = hashlib.md5(img.tobytes()).hexdigest()
     if digest == str(data["md5"]):
         print(f"PASS (bit-exact, md5 {digest})")
-        return 0 if _verify_cross_backend(img, aa) else 1
+        return 0 if _verify_cross_backend(img, scene) else 1
 
     diff = np.abs(img.astype(np.float64) - golden.astype(np.float64))
     max_abs = diff.max()
@@ -106,11 +126,19 @@ def verify(aa: bool = False) -> int:
           and outliers <= OUTLIER_FRAC)
     print(f"{'PASS' if ok else 'FAIL'} (tolerance): max={max_abs:.2e} "
           f"mean={mean_abs:.2e} outliers={outliers:.4%}")
-    ok = _verify_cross_backend(img, aa) and ok
+    ok = _verify_cross_backend(img, scene) and ok
     return 0 if ok else 1
 
 
-def _verify_cross_backend(img: np.ndarray, aa: bool = False) -> bool:
+def _file_scene(basename: str) -> str:
+    stem = basename[len("e2e_"):-len(".npz")]
+    for name, suffix in _SUFFIXES.items():
+        if suffix and stem.endswith(suffix):
+            return name
+    return "default"
+
+
+def _verify_cross_backend(img: np.ndarray, scene: str = "default") -> bool:
     """Compare against every OTHER backend's golden of the SAME scene
     family (loose bounds).
 
@@ -121,13 +149,11 @@ def _verify_cross_backend(img: np.ndarray, aa: bool = False) -> bool:
 
     import jax
 
-    suffix = "_aa" if aa else ""
-    own = f"e2e_{jax.default_backend()}{suffix}.npz"
-    pattern = f"e2e_*{suffix}.npz" if aa else "e2e_*.npz"
+    own = os.path.basename(golden_path(scene))
     ok = True
-    for path in sorted(glob.glob(os.path.join(GOLDEN_DIR, pattern))):
+    for path in sorted(glob.glob(os.path.join(GOLDEN_DIR, "e2e_*.npz"))):
         base = os.path.basename(path)
-        if base == own or (not aa and base.endswith("_aa.npz")):
+        if base == own or _file_scene(base) != scene:
             continue
         other = np.load(path, allow_pickle=True)["image"]
         if other.shape != img.shape:
@@ -152,10 +178,14 @@ def main() -> int:
     group = ap.add_mutually_exclusive_group(required=True)
     group.add_argument("--generate", action="store_true")
     group.add_argument("--verify", action="store_true")
+    ap.add_argument("--scene", type=str, default="default",
+                    choices=sorted(SCENES),
+                    help="golden scene family")
     ap.add_argument("--aa", action="store_true",
-                    help="use the ray-differential AA golden scene")
+                    help="alias for --scene aa")
     args = ap.parse_args()
-    return generate(args.aa) if args.generate else verify(args.aa)
+    scene = "aa" if args.aa else args.scene
+    return generate(scene) if args.generate else verify(scene)
 
 
 if __name__ == "__main__":

@@ -43,19 +43,29 @@ def test_e2e_matches_golden_if_present():
     assert diff.max() <= 5e-3 and diff.mean() <= 2e-4
 
 
-def test_e2e_aa_matches_golden_if_present():
-    # Same scene with ray-differential AA: covers the diff-RK4
-    # transport and mip-LOD sampling paths the non-AA golden never
-    # touches.
-    path = golden_path(aa=True)
+def _check_scene_golden(scene: str):
+    path = golden_path(scene)
     if not os.path.exists(path):
         import pytest
 
-        pytest.skip("no AA golden for this backend yet")
+        pytest.skip(f"no {scene} golden for this backend yet")
     data = np.load(path, allow_pickle=True)
     golden = data["image"]
-    img = render_e2e_scene(aa=True)
+    img = render_e2e_scene(scene)
     if hashlib.md5(img.tobytes()).hexdigest() == str(data["md5"]):
         return
     diff = np.abs(img.astype(np.float64) - golden.astype(np.float64))
     assert diff.max() <= 5e-3 and diff.mean() <= 2e-4
+
+
+def test_e2e_aa_matches_golden_if_present():
+    # Same scene with ray-differential AA: covers the diff-RK4
+    # transport and mip-LOD sampling paths the non-AA golden never
+    # touches.
+    _check_scene_golden("aa")
+
+
+def test_e2e_v2_matches_golden_if_present():
+    # Same geometry through the disk_v2 volume renderer: pins the slab
+    # radiative transfer, structure modulation, and palette paths.
+    _check_scene_golden("v2")

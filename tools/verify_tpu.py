@@ -37,12 +37,10 @@ def main() -> int:
     # -- 1. golden scene ----------------------------------------------------
     import e2e_render
 
-    rc = e2e_render.verify()
-    if rc != 0:
-        failures.append(f"e2e golden verify rc={rc}")
-    rc_aa = e2e_render.verify(aa=True)
-    if rc_aa != 0:
-        failures.append(f"e2e AA golden verify rc={rc_aa}")
+    for scene in sorted(e2e_render.SCENES):
+        rc = e2e_render.verify(scene)
+        if rc != 0:
+            failures.append(f"e2e golden verify [{scene}] rc={rc}")
 
     # -- 2. sharded dynamic video renderer ----------------------------------
     from bhr_tpu.config import SceneConfig, compute_disk_texture_resolution
