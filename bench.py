@@ -25,30 +25,53 @@ import time
 import numpy as np
 
 
-def main() -> int:
+def build_skybox_q():
+    """Quad-packed production-dtype benchmark skybox (shared setup)."""
     import jax
     import jax.numpy as jnp
 
-    from bhr_tpu.config import SceneConfig, compute_disk_texture_resolution
-    from bhr_tpu.models.dynamic_disk import DynamicDiskSystem
     from bhr_tpu.models.skybox import generate_skybox
     from bhr_tpu.ops.sampling import (
         pack_quad,
         production_tex_dtype,
         quantize_packed,
     )
+
+    tex_dtype = production_tex_dtype()
+    skybox = generate_skybox(2048, 1024, seed=42, n_stars=6000)
+    skybox_q = jax.jit(lambda t: quantize_packed(pack_quad(t), tex_dtype))(
+        jnp.asarray(skybox, jnp.float32)
+    )
+    return skybox_q, tex_dtype
+
+
+def time_resolution(resolution: str, batch: int,
+                    skybox_q=None, tex_dtype=None) -> float:
+    """ms/frame for the headline dynamic-pipeline scene at a preset.
+
+    THE measurement methodology — one jitted batched program (sharded
+    renderer over a 1-device mesh), compiled+warmed once, then timed
+    over a fresh batch with a single scalar device->host sync.
+    tools/bench_resolutions.py reuses this so the README scaling table
+    and the BASELINE metric can never drift apart.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bhr_tpu.config import SceneConfig, compute_disk_texture_resolution
+    from bhr_tpu.models.dynamic_disk import DynamicDiskSystem
     from bhr_tpu.parallel.mesh import make_frame_mesh
     from bhr_tpu.parallel.video import (
         build_sharded_video_renderer,
         pack_frame_params,
     )
     from bhr_tpu.parallel.frames import cameras_for_orbit, pack_cameras
-    from bhr_tpu.utils.cache import enable_compile_cache
 
-    enable_compile_cache()
+    if skybox_q is None or tex_dtype is None:
+        skybox_q, tex_dtype = build_skybox_q()
 
     cfg = SceneConfig(
-        resolution="fhd",
+        resolution=resolution,
         pov=(6.0, 0.0, 0.5),
         fov=90.0,
         step_size=0.1,
@@ -60,13 +83,6 @@ def main() -> int:
     ).validated()
     width, height = cfg.image_size
 
-    on_tpu = jax.default_backend() == "tpu"
-    tex_dtype = production_tex_dtype()
-    skybox = generate_skybox(2048, 1024, seed=42, n_stars=6000)
-    skybox_q = jax.jit(lambda t: quantize_packed(pack_quad(t), tex_dtype))(
-        jnp.asarray(skybox, jnp.float32)
-    )
-
     n_phi, n_r = compute_disk_texture_resolution(
         width, height, cfg.pov, cfg.fov, cfg.disk_inner_radius,
         cfg.disk_outer_radius,
@@ -74,8 +90,6 @@ def main() -> int:
     dynamic = DynamicDiskSystem(
         n_r, n_phi, cfg.disk_inner_radius, cfg.disk_outer_radius, seed=42
     )
-
-    batch = 32
     fil, hs, rt = pack_frame_params(
         dynamic, 2 * batch, cfg.disk_rotation_speed
     )
@@ -108,7 +122,14 @@ def main() -> int:
 
     t0 = time.perf_counter()
     run_batch(batch)
-    ms = (time.perf_counter() - t0) / batch * 1000.0
+    return (time.perf_counter() - t0) / batch * 1000.0
+
+
+def main() -> int:
+    from bhr_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    ms = time_resolution("fhd", 32)
 
     result = {
         "metric": "fhd_dynamic_frame_ms",

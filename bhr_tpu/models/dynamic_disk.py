@@ -35,6 +35,15 @@ from .lifecycle import (
 )
 
 
+def assemble_comp(bg: jnp.ndarray, staging: jnp.ndarray) -> jnp.ndarray:
+    """Assemble the 13-component field from background + entity planes:
+    [tb, sp, sp_t, turb, turb_t, fil_d, fil_t, rt_d, rt_t, hs_d, hs_t,
+    az, dm] — background slices 0-4 and 5-6 bracket the 6 entity
+    staging planes (comp slices 5-10). Single source of the layout;
+    shared by every engine (sequential, sharded video, profiler)."""
+    return jnp.concatenate([bg[0:5], staging, bg[5:7]], axis=0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_r", "n_phi", "enable_rt", "generation_scale"),
@@ -55,9 +64,7 @@ def _dynamic_step(
         fil_params, hs_params, rt_params, omega_rows, n_r, n_phi,
         phi_scale=generation_scale,
     )
-    comp = jnp.concatenate(
-        [bg[0:5], staging, bg[5:7]], axis=0
-    )  # [tb, sp, sp_t, turb, turb_t, fil_d, fil_t, rt_d, rt_t, hs_d, hs_t, az, dm]
+    comp = assemble_comp(bg, staging)
     # Python-scalar 0.0: statically elides the per-row roll gather
     # (rotation lives in the background coords + entity phases).
     tex = compose_from_components(

@@ -12,13 +12,10 @@ loop (/root/reference/render.py:4437-4476).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..camera import Camera, build_camera
@@ -144,4 +141,19 @@ def build_sharded_frame_renderer(
         out_specs=P("frames", "tile"),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+    expect_f = frames_per_device * int(mesh.shape["frames"])
+
+    def render(skybox, disk_mips, cam_pack, t_offsets):
+        # The declared frames_per_device fixes the total frame count;
+        # a mismatched cam_pack would otherwise silently reshard to a
+        # different per-device batch than the caller planned for.
+        if cam_pack.shape[0] != expect_f:
+            raise ValueError(
+                f"cam_pack has {cam_pack.shape[0]} frames, expected "
+                f"{expect_f} (= frames_per_device {frames_per_device} x "
+                f"mesh frames axis {int(mesh.shape['frames'])})"
+            )
+        return jitted(skybox, disk_mips, cam_pack, t_offsets)
+
+    return render

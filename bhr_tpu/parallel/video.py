@@ -37,7 +37,11 @@ from ..camera import build_camera, orbit_camera_position
 from ..config import SceneConfig, compute_disk_texture_resolution
 from ..constants import MAX_DISK_CROSSINGS
 from ..models.disk_texture import compose_from_components, keplerian_omega
-from ..models.dynamic_disk import DynamicDiskSystem, _recompute_stats
+from ..models.dynamic_disk import (
+    DynamicDiskSystem,
+    _recompute_stats,
+    assemble_comp,
+)
 from ..models.lifecycle import (
     MAX_HOTSPOTS,
     MAX_RT_SPIKES,
@@ -120,7 +124,9 @@ def build_sharded_video_renderer(
     r_vals = cfg.disk_inner_radius + (
         cfg.disk_outer_radius - cfg.disk_inner_radius
     ) * r_norm
-    omega_rows = jnp.asarray(np.sqrt(0.5 / (r_vals**3 + 1e-6)), jnp.float32)
+    # Same helper + dtype path as DynamicDiskSystem so entity phases
+    # are bit-identical across the sequential and sharded engines.
+    omega_rows = jnp.asarray(keplerian_omega(jnp.asarray(r_vals)))
     from ..utils.io import compute_edge_alpha
 
     edge = jnp.asarray(compute_edge_alpha(n_r))
@@ -140,7 +146,7 @@ def build_sharded_video_renderer(
                 fil_p, hs_p, rt_p, omega_rows, n_r, n_phi,
                 phi_scale=generation_scale,
             )
-            comp = jnp.concatenate([bg[0:5], staging, bg[5:7]], axis=0)
+            comp = assemble_comp(bg, staging)
             p98, scale, row_stats = _recompute_stats(comp, edge)
             tex = compose_from_components(
                 comp, omega_rows, edge, p98, scale, row_stats,
@@ -393,7 +399,10 @@ def render_video_sharded(config: SceneConfig) -> None:
             json.dump({"params": params, "completed": sorted(completed)}, fh)
         if (b + 1) % 10 == 0 or b == n_batches - 1:
             done = len(completed)
-            rate = done / max(time.time() - total_t0, 1e-9)
+            # Rate over THIS session's frames only — `completed` also
+            # counts frames from previous (resumed) sessions.
+            session_done = min((b + 1) * batch, len(pending))
+            rate = session_done / max(time.time() - total_t0, 1e-9)
             print(f"batch {b + 1}/{n_batches} done {done}/{config.n_frames} "
                   f"({rate:.2f} frames/s)")
     writer.close()

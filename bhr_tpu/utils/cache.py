@@ -52,7 +52,10 @@ def load_cached_disk_texture(
     from ..config import compute_disk_texture_resolution
     from ..models.disk_texture import generate_disk_texture
 
-    if width and height and cam_pos and fov:
+    if (
+        width is not None and height is not None
+        and cam_pos is not None and fov is not None
+    ):
         n_phi, n_r = compute_disk_texture_resolution(
             width, height, tuple(cam_pos), fov, r_inner, r_outer
         )

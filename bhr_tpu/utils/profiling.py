@@ -55,9 +55,12 @@ def device_time(fn: Callable[[], jnp.ndarray], iters: int = 10,
     `fn` must return a device array each call; results are reduced and
     fetched once at the end so the tunnel RTT is paid once, not N times.
     """
+    iters = max(int(iters), 1)
+    out = None
     for _ in range(warmup):
         out = fn()
-    jax.block_until_ready(out)
+    if out is not None:
+        jax.block_until_ready(out)
     acc = None
     t0 = time.perf_counter()
     for _ in range(iters):

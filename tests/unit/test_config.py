@@ -10,9 +10,39 @@ def test_defaults_valid():
     assert cfg.image_size == (1920, 1080)
 
 
-def test_fov_wraps_mod_180():
+def test_fov_in_range_passes_through():
     cfg = SceneConfig(fov=90.0).validated()
     assert cfg.fov == 90.0
+
+
+def test_fov_out_of_range_raises():
+    # Matches the reference: validate_args raises before its dead
+    # fov % 180 line ever matters (render.py:4589 vs 4625).
+    with pytest.raises(ValueError):
+        SceneConfig(fov=250.0).validated()
+    with pytest.raises(ValueError):
+        SceneConfig(fov=-30.0).validated()
+
+
+def test_disk_texture_npy_cache(tmp_path):
+    # The reference caches generated static disk textures as .npy keyed
+    # by params (render.py:1170-1186); exercise generate->cache->hit,
+    # including an ndarray cam_pos.
+    import numpy as np
+
+    from bhr_tpu.utils.cache import load_cached_disk_texture
+
+    kw = dict(
+        width=64, height=36, cam_pos=np.array([6.0, 0.0, 0.5]), fov=60.0,
+        seed=3, r_inner=2.0, r_outer=3.5, generation_scale=1,
+        cache_dir=str(tmp_path),
+    )
+    tex = load_cached_disk_texture(**kw)
+    assert tex.ndim == 3 and tex.shape[-1] == 4
+    cached = list(tmp_path.iterdir())
+    assert len(cached) == 1 and cached[0].suffix == ".npy"
+    tex2 = load_cached_disk_texture(**kw)
+    np.testing.assert_array_equal(np.asarray(tex), np.asarray(tex2))
 
 
 @pytest.mark.parametrize(

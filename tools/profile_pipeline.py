@@ -62,10 +62,14 @@ def main() -> int:
     rt = jnp.asarray(
         pack_timer_entities(dyn.factories["rt_spike"], 0.0, MAX_RT_SPIKES, 1.0)
     )
+    from bhr_tpu.models.disk_texture import keplerian_omega
+    from bhr_tpu.models.dynamic_disk import assemble_comp
+    from bhr_tpu.ops.sampling import production_tex_dtype
+
     r_vals = 2.0 + 13.0 * np.linspace(0, 1, n_r)
-    omega = jnp.asarray(np.sqrt(0.5 / (r_vals**3 + 1e-6)), jnp.float32)
+    omega = jnp.asarray(keplerian_omega(jnp.asarray(r_vals)))
     edge = jnp.asarray(compute_edge_alpha(n_r))
-    tex_dtype = jnp.uint8 if jax.default_backend() == "tpu" else jnp.float32
+    tex_dtype = production_tex_dtype()
 
     skybox = generate_skybox(2048, 1024, seed=42, n_stars=6000)
     skybox_q = jax.jit(lambda t: quantize_packed(pack_quad(t), tex_dtype))(
@@ -96,7 +100,7 @@ def main() -> int:
         staging = accumulate_entity_layer(
             fil, hs, rt, omega, n_r, n_phi, phi_scale=2
         )
-        comp = jnp.concatenate([bg[0:5], staging, bg[5:7]], axis=0)
+        comp = assemble_comp(bg, staging)
         p98, scale, row = _recompute_stats(comp, edge)
         tex = compose_from_components(
             comp, omega, edge, p98, scale, row, 0.0, True,
@@ -124,10 +128,13 @@ def main() -> int:
 
     @jax.jit
     def stage_shade(trace, qmips):
+        # image_shape enables the ghost-slot crop window — the path
+        # production renders actually take.
         bg_rgb, disk_rgb, _ = shade_frame(
             trace, skybox_q, qmips, 1, cam_pack[0:3],
             r_inner=2.0, r_outer=15.0, tilt_deg=15.0,
             t_offset=jnp.float32(0.0), use_lod=False, aa_strength=1.0,
+            image_shape=(height, width),
         )
         return bg_rgb + disk_rgb
 

@@ -54,6 +54,10 @@ def main() -> int:
     t0 = time.time()
     state = build_parametric_state(**kw)
     build_s = time.time() - t0
+    # Warm the jitted compose first: experiments 3/4 run warm (their
+    # programs compile here), so timing a cold first call would bias
+    # the A/B comparison against the roll path.
+    np.asarray(compose_from_state(state, args.t))
     t0 = time.time()
     tex_roll = np.asarray(compose_from_state(state, args.t))
     np.asarray(compose_from_state(state, args.t + 0.1))
