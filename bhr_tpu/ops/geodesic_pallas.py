@@ -201,10 +201,14 @@ def build_ray_march_kernel(
 
             r2 = px * px + py * py + pz * pz
             r_cur = jnp.sqrt(r2)
-            # Adaptive step (reference render.py:2858-2869).
+            # Adaptive step (reference render.py:2858-2869). rs/r_safe
+            # is computed divide-free as rs * min(rsqrt(r2), 1/(rs+eps))
+            # (equivalent to clamping r from below); the rsqrt CSEs with
+            # stage 1's radial factor, which evaluates the same r2.
             r_safe = jnp.maximum(r_cur, rs + 1e-3)
-            far = jnp.minimum(jnp.sqrt(r_safe / rs), 10.0)
-            near = 1.0 / (1.0 + 2.0 * (rs / r_safe) ** 3)
+            far = jnp.minimum(jnp.sqrt(r_safe * (1.0 / rs)), 10.0)
+            q = rs * jnp.minimum(jax.lax.rsqrt(r2), 1.0 / (rs + 1e-3))
+            near = 1.0 / (1.0 + 2.0 * (q * q * q))
             h = h_base * jnp.clip(far * near, 0.2, 10.0)
 
             # RK4 of (pos, dir). In AA mode the stage radial factors
@@ -214,13 +218,14 @@ def build_ray_march_kernel(
             # stage positions as the acceleration. The non-AA branch
             # keeps _accel's exact expression tree (bit-exact goldens).
             def stage_f(sx, sy, sz):
+                # r^-5 and r^-2 from one rsqrt + multiplies: f32 divide
+                # costs several VPU ops where a multiply costs one, and
+                # this runs 4x per RK4 step on every ray.
                 r2_ = sx * sx + sy * sy + sz * sz
-                if with_differentials:
-                    inv_r2_ = 1.0 / r2_
-                    inv_r5_ = jax.lax.rsqrt(r2_) * inv_r2_ * inv_r2_
-                else:
-                    inv_r2_ = None
-                    inv_r5_ = jax.lax.rsqrt(r2_) / (r2_ * r2_)
+                ir_ = jax.lax.rsqrt(r2_)
+                inv_r2_ = ir_ * ir_ if with_differentials else None
+                ir2_ = ir_ * ir_
+                inv_r5_ = ir2_ * ir2_ * ir_
                 return neg_15_l2 * inv_r5_, inv_r2_
 
             s1x, s1y, s1z = px, py, pz

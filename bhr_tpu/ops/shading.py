@@ -26,6 +26,28 @@ from ..constants import (
 )
 
 
+def pow_const(x: jnp.ndarray, p: float) -> jnp.ndarray:
+    """x**p with square-and-multiply for small integer exponents.
+
+    XLA's algebraic simplifier only strength-reduces a handful of
+    exponents (0.5, 1, 2); anything else lowers to exp(p*log(x)) —
+    tens of VPU ops where the integer case needs a few multiplies.
+    Valid for x >= 0 (all call sites are alphas/profiles in [0, 1]).
+    """
+    if float(p).is_integer() and 1.0 <= p <= 16.0:
+        n = int(p)
+        acc = None
+        base = x
+        while n:
+            if n & 1:
+                acc = base if acc is None else acc * base
+            n >>= 1
+            if n:
+                base = base * base
+        return acc
+    return jnp.power(x, p)
+
+
 def blackbody_rgb(temp_k: jnp.ndarray) -> jnp.ndarray:
     """Kelvin -> linear RGB using the Tanner Helland piecewise fit.
 

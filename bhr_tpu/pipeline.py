@@ -37,7 +37,7 @@ from .ops.sampling import (
     sample_disk_quad,
     sample_skybox_quad,
 )
-from .ops.shading import apply_g_factor
+from .ops.shading import apply_g_factor, pow_const
 
 
 def _ghost_window(hit_count: jnp.ndarray, ih: int, iw: int):
@@ -248,7 +248,7 @@ def shade_frame(
                 r_inner, r_outer, tilt_rad, color_temp,
             )
             base_alpha = jnp.minimum(rgba[:, 3], 0.999)
-            disk_alpha = 1.0 - jnp.power(1.0 - base_alpha, DISK_ALPHA_GAIN)
+            disk_alpha = 1.0 - pow_const(1.0 - base_alpha, DISK_ALPHA_GAIN)
             disk_alpha = jnp.where(valid, disk_alpha, 0.0)
 
             front = 1.0 - alpha_total
