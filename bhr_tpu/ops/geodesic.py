@@ -43,7 +43,8 @@ from ..constants import MAX_DISK_CROSSINGS, RS
 #   2:5   ray direction at the crossing step (pre-step, points away from cam)
 #   5:8   d(pos)/d(pixel_x) at the crossing (ray differentials; zeros if off)
 #   8:11  d(pos)/d(pixel_y) at the crossing
-#   11    t_frac within the step (diagnostics)
+#   11    t_frac within the step (diagnostics; the Pallas production
+#         kernel writes 0 here in non-AA mode — no shader reads it)
 HIT_FEATURES = 12
 
 

@@ -102,7 +102,7 @@ def build_ray_march_kernel(
         else int(r_escape * 40.0 / h_base)
     )
     k_slots = max_crossings
-    n_feat = HIT_FEATURES if with_differentials else 6
+    n_feat = HIT_FEATURES if with_differentials else 5
 
     pad_h = -height % block_rows
     pad_w = -width % block_cols
@@ -348,8 +348,11 @@ def build_ray_march_kernel(
                 else:
                     # Slim feature set: the differential planes are all
                     # zero without AA — carrying them would double the
-                    # per-step select cost for nothing.
-                    feat_list = [hx, hy, vx, vy, vz, t_frac]
+                    # per-step select cost for nothing. t_frac is
+                    # diagnostics-only (no shader reads feature 11), so
+                    # the slim path drops it too: one fewer hit-slot
+                    # select per slot per RK4 step.
+                    feat_list = [hx, hy, vx, vy, vz]
                 feats = jnp.stack(feat_list, axis=0)  # (n_feat, BR, BC)
 
                 # Static-slice selects (scatter/ref-RMW both lower
@@ -432,11 +435,10 @@ def build_ray_march_kernel(
             hits_ref[:, :, :, :] = hits
         else:
             # Expand slim features to the full 12-feature output layout:
-            # [hx, hy, vx, vy, vz, 0 x6 (diffs), t_frac].
-            zeros6 = jnp.zeros((k_slots, 6) + shape, jnp.float32)
+            # [hx, hy, vx, vy, vz, 0 x7 (diffs + diagnostics t_frac)].
+            zeros7 = jnp.zeros((k_slots, 7) + shape, jnp.float32)
             hits_ref[:, 0:5] = hits[:, 0:5]
-            hits_ref[:, 5:11] = zeros6
-            hits_ref[:, 11:12] = hits[:, 5:6]
+            hits_ref[:, 5:12] = zeros7
         if record_step_counts:
             extra_refs[0][:, :] = final[13]
 
