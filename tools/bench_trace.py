@@ -14,6 +14,7 @@ steps/ray at 640x360 in ~18 s on CPU (docs/design.md:210-216), i.e.
 ~2 Mray-steps/s.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -24,6 +25,12 @@ import numpy as np  # noqa: E402
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--aa", action="store_true",
+                    help="trace with ray-differential transport (the AA "
+                         "path: +2 Jacobian RK4 systems per step)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +48,7 @@ def main() -> int:
     cp = jnp.asarray(camera_params(cam))
     kw = dict(
         width=W, height=H, h_base=0.1, r_escape=15.0, tilt_deg=15.0,
-        r_inner=2.0, r_outer=15.0,
+        r_inner=2.0, r_outer=15.0, with_differentials=args.aa,
     )
 
     # Total useful RK4 steps for this frame (counted once, by the kernel).
@@ -70,7 +77,8 @@ def main() -> int:
 
     mray_steps = total_steps / dt / 1e6
     print(json.dumps({
-        "metric": "geodesic_rk4_mray_steps_per_s",
+        "metric": "geodesic_rk4_mray_steps_per_s"
+                  + ("_aa" if args.aa else ""),
         "value": round(mray_steps, 1),
         "unit": "Mray-steps/s",
         "steps_per_frame": total_steps,
