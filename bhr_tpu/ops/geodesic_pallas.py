@@ -215,16 +215,17 @@ def build_ray_march_kernel(
             # (f = -1.5 L^2 / r^5 and 1/r^2) are computed once per
             # stage and shared with the two Jacobian transports below —
             # the variational equation is evaluated at the SAME four
-            # stage positions as the acceleration. The non-AA branch
-            # keeps _accel's exact expression tree (bit-exact goldens).
+            # stage positions as the acceleration. (The divide-free
+            # factors round differently from the earlier rs/r divide
+            # form; goldens were regenerated with this kernel.)
             def stage_f(sx, sy, sz):
                 # r^-5 and r^-2 from one rsqrt + multiplies: f32 divide
                 # costs several VPU ops where a multiply costs one, and
                 # this runs 4x per RK4 step on every ray.
                 r2_ = sx * sx + sy * sy + sz * sz
                 ir_ = jax.lax.rsqrt(r2_)
-                inv_r2_ = ir_ * ir_ if with_differentials else None
                 ir2_ = ir_ * ir_
+                inv_r2_ = ir2_ if with_differentials else None
                 inv_r5_ = ir2_ * ir2_ * ir_
                 return neg_15_l2 * inv_r5_, inv_r2_
 

@@ -1,0 +1,67 @@
+"""Shared FHD diagnostic scene for the shade cost tools.
+
+One source for the scene constants (camera, texture resolution, seeds)
+used by cost_shade.py and ablate_shade.py, so the two diagnostics and
+bench.py always measure the same configuration.
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+FHD = (1920, 1080)
+TEX_N_R, TEX_N_PHI = 416, 2912
+DISK_R_INNER, DISK_R_OUTER = 2.0, 15.0
+TILT_DEG = 15.0
+
+
+def build_fhd_shade_inputs():
+    """Build (W, H, cp, skybox_q, qmips, trace) for the FHD scene.
+
+    Quantized/packed in the production storage dtype; the trace is a
+    completed Pallas trace of the same scene, fully materialized.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bhr_tpu.camera import build_camera
+    from bhr_tpu.models.disk_texture import generate_disk_texture
+    from bhr_tpu.models.skybox import generate_skybox
+    from bhr_tpu.ops.geodesic_pallas import (
+        camera_params,
+        trace_geodesics_pallas,
+    )
+    from bhr_tpu.ops.sampling import (
+        build_mipmaps,
+        pack_quad,
+        pack_quad_mips,
+        production_tex_dtype,
+        quantize_packed,
+    )
+
+    W, H = FHD
+    tex_dtype = production_tex_dtype()
+    cam = build_camera([6.0, 0.0, 0.5], 90.0, W, H)
+    cp = jnp.asarray(camera_params(cam))
+
+    skybox = generate_skybox(2048, 1024, seed=42, n_stars=2000)
+    skybox_q = jax.jit(lambda t: quantize_packed(pack_quad(t), tex_dtype))(
+        jnp.asarray(skybox, jnp.float32)
+    )
+    tex = jnp.asarray(
+        generate_disk_texture(
+            n_phi=TEX_N_PHI, n_r=TEX_N_R, seed=42,
+            r_inner=DISK_R_INNER, r_outer=DISK_R_OUTER,
+        )
+    )
+    qmips = jax.jit(
+        lambda t: quantize_packed(pack_quad_mips(build_mipmaps(t), 4),
+                                  tex_dtype)
+    )(tex)
+
+    trace = trace_geodesics_pallas(
+        cp, width=W, height=H, h_base=0.1, r_escape=DISK_R_OUTER,
+        tilt_deg=TILT_DEG, r_inner=DISK_R_INNER, r_outer=DISK_R_OUTER,
+    )
+    trace = jax.tree.map(jax.block_until_ready, trace)
+    return W, H, cp, skybox_q, qmips, trace

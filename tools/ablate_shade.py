@@ -18,48 +18,14 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from bhr_tpu.camera import build_camera
-    from bhr_tpu.models.disk_texture import generate_disk_texture
-    from bhr_tpu.models.skybox import generate_skybox
-    from bhr_tpu.ops.geodesic_pallas import camera_params, trace_geodesics_pallas
-    from bhr_tpu.ops.sampling import (
-        build_mipmaps,
-        pack_quad,
-        pack_quad_mips,
-        production_tex_dtype,
-        quantize_packed,
-        sample_disk_quad,
-        sample_skybox_quad,
-    )
+    from bhr_tpu.ops.sampling import sample_disk_quad, sample_skybox_quad
     from bhr_tpu.pipeline import shade_frame
     from bhr_tpu.utils.cache import enable_compile_cache
     from bhr_tpu.utils.profiling import device_time
+    from tools._diag_scene import build_fhd_shade_inputs
 
     enable_compile_cache()
-    W, H = 1920, 1080
-    n_r, n_phi = 416, 2912
-    tex_dtype = production_tex_dtype()
-    cam = build_camera([6.0, 0.0, 0.5], 90.0, W, H)
-    cp = jnp.asarray(camera_params(cam))
-
-    skybox = generate_skybox(2048, 1024, seed=42, n_stars=2000)
-    skybox_q = jax.jit(lambda t: quantize_packed(pack_quad(t), tex_dtype))(
-        jnp.asarray(skybox, jnp.float32)
-    )
-    tex = jnp.asarray(
-        generate_disk_texture(
-            n_phi=n_phi, n_r=n_r, seed=42, r_inner=2.0, r_outer=15.0
-        )
-    )
-    qmips = jax.jit(
-        lambda t: quantize_packed(pack_quad_mips(build_mipmaps(t), 4), tex_dtype)
-    )(tex)
-
-    trace = trace_geodesics_pallas(
-        cp, width=W, height=H, h_base=0.1, r_escape=15.0,
-        tilt_deg=15.0, r_inner=2.0, r_outer=15.0,
-    )
-    trace = jax.tree.map(jax.block_until_ready, trace)
+    W, H, cp, skybox_q, qmips, trace = build_fhd_shade_inputs()
     hc = np.asarray(trace.hit_count)
     print(f"hit_count: 0:{(hc == 0).mean():.2%} 1:{(hc == 1).mean():.2%} "
           f"2+:{(hc >= 2).mean():.2%}  escaped:{np.asarray(trace.escaped).mean():.2%}")
@@ -124,7 +90,7 @@ def main() -> int:
         ms = device_time(
             lambda fn=fn: fn(trace, jnp.float32(next(eps_iter)) * 1e-12),
             iters=20,
-        )
+        ) * 1e3  # device_time returns amortized per-call seconds
         print(f"{name:28s} {ms:7.2f} ms")
     return 0
 

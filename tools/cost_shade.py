@@ -10,50 +10,15 @@ import sys
 
 sys.path.insert(0, ".")
 
-import numpy as np  # noqa: E402
-
 
 def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from bhr_tpu.camera import build_camera
-    from bhr_tpu.models.disk_texture import generate_disk_texture
-    from bhr_tpu.models.skybox import generate_skybox
-    from bhr_tpu.ops.geodesic_pallas import camera_params, trace_geodesics_pallas
-    from bhr_tpu.ops.sampling import (
-        build_mipmaps,
-        pack_quad,
-        pack_quad_mips,
-        production_tex_dtype,
-        quantize_packed,
-    )
     from bhr_tpu.pipeline import shade_frame
+    from tools._diag_scene import build_fhd_shade_inputs
 
-    W, H = 1920, 1080
-    n_r, n_phi = 416, 2912
-    tex_dtype = production_tex_dtype()
-    cam = build_camera([6.0, 0.0, 0.5], 90.0, W, H)
-    cp = jnp.asarray(camera_params(cam))
-
-    skybox = generate_skybox(2048, 1024, seed=42, n_stars=2000)
-    skybox_q = jax.jit(lambda t: quantize_packed(pack_quad(t), tex_dtype))(
-        jnp.asarray(skybox, jnp.float32)
-    )
-    tex = jnp.asarray(
-        generate_disk_texture(
-            n_phi=n_phi, n_r=n_r, seed=42, r_inner=2.0, r_outer=15.0
-        )
-    )
-    qmips = jax.jit(
-        lambda t: quantize_packed(pack_quad_mips(build_mipmaps(t), 4), tex_dtype)
-    )(tex)
-
-    trace = trace_geodesics_pallas(
-        cp, width=W, height=H, h_base=0.1, r_escape=15.0,
-        tilt_deg=15.0, r_inner=2.0, r_outer=15.0,
-    )
-    trace = jax.tree.map(jax.block_until_ready, trace)
+    W, H, cp, skybox_q, qmips, trace = build_fhd_shade_inputs()
 
     def shade(trace, skybox_q, qmips):
         bg, disk, _ = shade_frame(
