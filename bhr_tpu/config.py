@@ -116,6 +116,11 @@ class SceneConfig:
                 "disk_texture only supports static single-frame rendering; "
                 "video/interactive modes use the lifecycle system"
             )
+        if self.disk_texture and self.disk_model == "v2":
+            raise ValueError(
+                "disk_texture is a V1 (texture-model) input; the v2 disk "
+                "model shades by volume integration and takes no texture"
+            )
         if self.disk_generation_scale not in DISK_GENERATION_SCALE_CHOICES:
             raise ValueError(
                 f"disk_generation_scale must be one of "

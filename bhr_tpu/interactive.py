@@ -20,10 +20,7 @@ from typing import Optional
 
 import numpy as np
 
-from .config import SceneConfig, compute_disk_texture_resolution
-from .models.dynamic_disk import DynamicDiskSystem
-from .models.skybox import load_or_generate_skybox
-from .pipeline import Renderer
+from .config import SceneConfig
 from .utils.io import save_image
 
 _SOLO_KEYS = {
@@ -36,36 +33,28 @@ _SOLO_NAMES = {
 
 
 def _build(config: SceneConfig):
-    width, height = config.image_size
-    skybox, _, _ = load_or_generate_skybox(
-        config.texture, 2048, 1024, config.n_stars, seed=config.skybox_seed
-    )
-    # r_escape_quantum: zoom ('+'/'-') changes the camera distance a few
-    # percent per keypress; quantizing r_escape keeps the trace program
-    # stable across zoom steps instead of recompiling per keypress.
-    if config.disk_model == "v2":
-        # V2 shades by volume integration (time advances through the
-        # sampler's t_offset) — no texture or lifecycle system.
-        renderer = Renderer(config, skybox, None, r_escape_quantum=4.0)
-        return renderer, None
-    n_phi, n_r = compute_disk_texture_resolution(
-        width, height, config.pov, config.fov,
-        config.disk_inner_radius, config.disk_outer_radius,
-    )
-    dynamic = DynamicDiskSystem(
-        n_r, n_phi, config.disk_inner_radius, config.disk_outer_radius,
-        seed=config.seed,
-    )
-    renderer = Renderer(
-        config, skybox, np.zeros((n_r, n_phi, 4), np.float32),
-        r_escape_quantum=4.0,
-    )
-    return renderer, dynamic
+    # One renderer-construction path for every mode (modes._make_renderer
+    # handles the V2 branch and lifecycle sizing). r_escape_quantum:
+    # zoom ('+'/'-') changes the camera distance a few percent per
+    # keypress; quantizing r_escape keeps the trace program stable
+    # across zoom steps instead of recompiling per keypress.
+    from .modes import _make_renderer
+
+    return _make_renderer(config, r_escape_quantum=4.0)
+
+
+# Non-GUI matplotlib backends: selecting one "succeeds" headlessly, so
+# it must route to the headless preview, not an invisible event loop.
+_HEADLESS_BACKENDS = {"agg", "pdf", "pgf", "ps", "svg", "template", "cairo"}
 
 
 def run_interactive(config: SceneConfig) -> None:
     """Dispatch to windowed or headless preview."""
-    if os.environ.get("DISPLAY") or os.environ.get("MPLBACKEND"):
+    env_backend = os.environ.get("MPLBACKEND", "").lower()
+    if env_backend in _HEADLESS_BACKENDS:
+        run_headless_preview(config)
+        return
+    if os.environ.get("DISPLAY") or env_backend:
         try:
             _run_matplotlib(config)
             return
@@ -191,7 +180,8 @@ def _run_matplotlib(config: SceneConfig) -> None:
     fps = 0.0
     while state["running"] and plt.fignum_exists(fig.number):
         now = time.time()
-        dt = min(now - last, 0.1)
+        real_dt = now - last  # actual frame time (drives the FPS HUD)
+        dt = min(real_dt, 0.1)  # clamped sim step (no jumps after stalls)
         last = now
         scaled_dt = dt * config.disk_rotation_speed * 20.0
         wall_time += scaled_dt
@@ -217,7 +207,7 @@ def _run_matplotlib(config: SceneConfig) -> None:
             lens_flare=state["flare"],
         )
         im.set_data(img)
-        fps = 0.9 * fps + 0.1 * (1.0 / max(dt, 1e-3))
+        fps = 0.9 * fps + 0.1 * (1.0 / max(real_dt, 1e-3))
         solo_txt = (f" SOLO:{_SOLO_NAMES.get(state['solo'], state['solo'])}"
                     if state["solo"] >= 0 else "")
         hud.set_text(

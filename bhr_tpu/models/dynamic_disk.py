@@ -74,11 +74,15 @@ def _dynamic_step(
     return comp, tex
 
 
-@jax.jit
-def _recompute_stats(comp, edge):
+@functools.partial(jax.jit, static_argnames=("enable_rt",))
+def _recompute_stats(comp, edge, enable_rt: bool = True):
     """Normalization stats from the live comp field, with temp-base
     floors so sparse entity rows don't over-clamp the background
     (reference recompute_interactive_stats, render.py:3655-3712).
+
+    The RT density weight is gated on ``enable_rt`` exactly like the
+    compose path (reference: `rt_w = 0.20 if self._param_enable_rt
+    else 0.0`), so stats and compose always normalize the same density.
 
     Quantiles are histogram-approximate (ops/stats.py): exact
     jnp.percentile would sort ~1.2M texels per frame, which dominated
@@ -86,9 +90,10 @@ def _recompute_stats(comp, edge):
     """
     from ..ops.stats import approx_quantile, approx_quantile_rows
 
+    rt_w = 0.20 if enable_rt else 0.0
     density = (
         0.15 + 0.10 * comp[1] + 0.30 * comp[3] + 0.20 * comp[9]
-        + 0.30 * comp[5] + 0.20 * comp[7]
+        + 0.30 * comp[5] + rt_w * comp[7]
     ) * comp[12] * edge[:, None]
     density_p98 = jnp.maximum(approx_quantile(density, 0.98), 0.01)
 
@@ -225,14 +230,14 @@ class DynamicDiskSystem:
 
         if solo_idx >= 0:
             comp = self._solo_comp(comp, solo_idx)
-            p98, scale, row_stats = _recompute_stats(comp, self.edge)
+            p98, scale, row_stats = _recompute_stats(comp, self.edge, self.enable_rt)
             tex = compose_from_components(
                 comp, self.omega_rows, self.edge, p98, scale, row_stats,
                 0.0, self.enable_rt, jnp.float32(self.color_temp),
             )
         elif recompute_stats:
             self.density_p98, self.struct_scale, self.row_stats = (
-                _recompute_stats(comp, self.edge)
+                _recompute_stats(comp, self.edge, self.enable_rt)
             )
             tex = compose_from_components(
                 comp, self.omega_rows, self.edge, self.density_p98,
@@ -262,7 +267,7 @@ class DynamicDiskSystem:
         )
         self.comp = comp
         self.density_p98, self.struct_scale, self.row_stats = (
-            _recompute_stats(comp, self.edge)
+            _recompute_stats(comp, self.edge, self.enable_rt)
         )
 
     def _solo_comp(self, comp: jnp.ndarray, solo_idx: int) -> jnp.ndarray:

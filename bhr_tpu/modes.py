@@ -25,19 +25,26 @@ from .pipeline import Renderer
 from .utils.io import AsyncPNGWriter, load_disk_texture, save_image
 
 
-def _make_renderer(config: SceneConfig) -> tuple:
-    """Build renderer + (optional) dynamic disk system for a config."""
+def _make_renderer(config: SceneConfig,
+                   r_escape_quantum: float = 0.0) -> tuple:
+    """Build renderer + (optional) dynamic disk system for a config.
+
+    Single construction path for every mode (image/video/interactive);
+    ``r_escape_quantum`` is forwarded to :class:`Renderer` (interactive
+    zoom uses it to bound recompiles)."""
     width, height = config.image_size
     skybox, _, _ = load_or_generate_skybox(
         config.texture, 2048, 1024, config.n_stars, seed=config.skybox_seed
     )
 
-    disk_tex = load_disk_texture(config.disk_texture)
     dynamic = None
     if config.disk_model == "v2":
-        # V2 shades by volume integration — no disk texture needed.
-        renderer = Renderer(config, skybox, None)
+        # V2 shades by volume integration — no disk texture needed
+        # (config.validated() rejects v2 + disk_texture).
+        renderer = Renderer(config, skybox, None,
+                            r_escape_quantum=r_escape_quantum)
         return renderer, None
+    disk_tex = load_disk_texture(config.disk_texture)
     if disk_tex is None:
         n_phi, n_r = compute_disk_texture_resolution(
             width, height, config.pov, config.fov,
@@ -49,8 +56,95 @@ def _make_renderer(config: SceneConfig) -> tuple:
         )
         disk_tex = np.zeros((n_r, n_phi, 4), np.float32)
 
-    renderer = Renderer(config, skybox, disk_tex)
+    renderer = Renderer(config, skybox, disk_tex,
+                        r_escape_quantum=r_escape_quantum)
     return renderer, dynamic
+
+
+def video_temp_paths(output_path: str) -> tuple:
+    """(temp_dir, progress_file) for a video output path — the
+    reference's md5-derived frame directory (render.py:4380-4382)."""
+    temp_dir = os.path.join(
+        os.path.dirname(output_path) or ".",
+        ".frames_" + hashlib.md5(output_path.encode()).hexdigest()[:16],
+    )
+    return temp_dir, os.path.join(temp_dir, "progress.json")
+
+
+def video_resume_params(config: SceneConfig, *, sharded: bool = False) -> Dict:
+    """progress.json invalidation params — everything that determines
+    frame CONTENT, so a resumed run never silently mixes two scenes.
+
+    Superset of the reference's {n_frames, fov, orbit,
+    disk_rotation_speed, orbit_degrees} (render.py:4384-4390), which
+    would keep stale frames when e.g. the seed or camera changed.
+    'sharded' records which engine rendered the frames; it is excluded
+    from invalidation (the scene is identical across engines).
+    """
+    width, height = config.image_size
+    return {
+        "n_frames": config.n_frames,
+        "fov": config.fov,
+        "orbit": config.orbit,
+        "disk_rotation_speed": config.disk_rotation_speed,
+        "orbit_degrees": config.orbit_degrees,
+        "width": width,
+        "height": height,
+        "pov": [float(x) for x in config.pov],
+        "seed": config.seed,
+        "skybox_seed": config.skybox_seed,
+        "n_stars": config.n_stars,
+        "texture": config.texture,
+        "disk_texture": config.disk_texture,
+        "disk_model": config.disk_model,
+        "disk_inner_radius": float(config.disk_inner_radius),
+        "disk_outer_radius": float(config.disk_outer_radius),
+        "disk_tilt": float(config.disk_tilt),
+        "step_size": float(config.step_size),
+        "r_max": float(config.r_max),
+        "anti_alias": config.anti_alias,
+        "aa_strength": float(config.aa_strength),
+        "lens_flare": bool(config.lens_flare),
+        "sharded": bool(sharded),
+    }
+
+
+def load_video_progress(config: SceneConfig, temp_dir: str,
+                        progress_file: str, params: Dict) -> tuple:
+    """Shared resume protocol: returns (completed frames, cross_engine).
+
+    Param mismatch wipes the frame dir and restarts (reference
+    render.py:4393-4405); a clean (non-resume) run also starts fresh.
+    The 'sharded' engine marker never invalidates — resuming the other
+    engine's frames is supported (stats cadence differs by a documented
+    hair, PARITY.md deviation 5).
+    """
+    completed: set = set()
+    cross_engine = False
+    if (config.resume and os.path.isdir(temp_dir)
+            and os.path.isfile(progress_file)):
+        with open(progress_file) as f:
+            saved = json.load(f)
+        saved_params = dict(saved.get("params", {}))
+        cross_engine = bool(saved_params.pop("sharded", False)) != bool(
+            params.get("sharded", False)
+        )
+        compare = {k: v for k, v in params.items() if k != "sharded"}
+        if saved_params != compare:
+            print("Parameters changed; starting over")
+            shutil.rmtree(temp_dir)
+            os.makedirs(temp_dir, exist_ok=True)
+        else:
+            completed = set(saved.get("completed", []))
+            if cross_engine and completed:
+                print("Resuming frames rendered by the other engine "
+                      "(per-frame stats cadence differs slightly)")
+            print(f"Resuming: {len(completed)}/{config.n_frames} frames done")
+    else:
+        if os.path.isdir(temp_dir) and not config.resume:
+            shutil.rmtree(temp_dir)
+        os.makedirs(temp_dir, exist_ok=True)
+    return completed, cross_engine
 
 
 def render_image(config: SceneConfig) -> np.ndarray:
@@ -101,45 +195,11 @@ def render_video(config: SceneConfig,
         render_video_sharded(config)
         return
 
-    width, height = config.image_size
     output_path = config.output
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
-
-    temp_dir = os.path.join(
-        os.path.dirname(output_path) or ".",
-        ".frames_" + hashlib.md5(output_path.encode()).hexdigest()[:16],
-    )
-    progress_file = os.path.join(temp_dir, "progress.json")
-
-    params: Dict = {
-        "n_frames": config.n_frames,
-        "fov": config.fov,
-        "orbit": config.orbit,
-        "disk_rotation_speed": config.disk_rotation_speed,
-        "orbit_degrees": config.orbit_degrees,
-        "width": width,
-        "height": height,
-    }
-
-    completed = set()
-    if config.resume and os.path.isdir(temp_dir) and os.path.isfile(progress_file):
-        with open(progress_file) as f:
-            saved = json.load(f)
-        saved_params = dict(saved.get("params", {}))
-        # 'sharded' only marks which engine rendered the frames; the
-        # scene is identical — never invalidate a resume over it.
-        saved_params.pop("sharded", None)
-        if saved_params != params:
-            print("Parameters changed; starting over")
-            shutil.rmtree(temp_dir)
-            os.makedirs(temp_dir, exist_ok=True)
-        else:
-            completed = set(saved.get("completed", []))
-            print(f"Resuming: {len(completed)}/{config.n_frames} frames done")
-    else:
-        if os.path.isdir(temp_dir) and not config.resume:
-            shutil.rmtree(temp_dir)
-        os.makedirs(temp_dir, exist_ok=True)
+    temp_dir, progress_file = video_temp_paths(output_path)
+    params = video_resume_params(config, sharded=False)
+    completed, _ = load_video_progress(config, temp_dir, progress_file, params)
 
     if renderer is None:
         renderer, dynamic = _make_renderer(config)
@@ -223,6 +283,7 @@ def _assemble_video(temp_dir: str, output_path: str, n_frames: int,
                     fps: int) -> None:
     """H.264 assembly via imageio/pyav when available; otherwise leave
     the PNG frames and print the ffmpeg recipe."""
+    writer = None
     try:
         import imageio.v3 as iio
 
@@ -235,6 +296,17 @@ def _assemble_video(temp_dir: str, output_path: str, n_frames: int,
         print(f"Video saved: {output_path}")
         return
     except Exception as exc:  # imageio/pyav not installed, or codec issue
+        # Close the leaked writer and remove the truncated output — a
+        # partial .mp4 at the advertised path would look finished.
+        if writer is not None:
+            try:
+                writer.close()
+            except Exception:
+                pass
+            try:
+                os.remove(output_path)
+            except OSError:
+                pass
         print(f"pyav unavailable ({exc}); trying ffmpeg")
     import shutil as _shutil
     import subprocess

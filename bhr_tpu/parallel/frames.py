@@ -119,7 +119,7 @@ def build_sharded_frame_renderer(
                 trace,
                 skybox,
                 disk_mips if has_disk else None,
-                int(disk_mips.shape[0]),
+                int(disk_mips.shape[0]) if has_disk else 1,
                 pos,
                 r_inner=float(cfg.disk_inner_radius),
                 r_outer=float(cfg.disk_outer_radius),
@@ -145,6 +145,15 @@ def build_sharded_frame_renderer(
     expect_f = frames_per_device * int(mesh.shape["frames"])
 
     def render(skybox, disk_mips, cam_pack, t_offsets):
+        if disk_mips is None:
+            if has_disk:
+                raise ValueError(
+                    "disk_mips is required when the renderer was built "
+                    "with has_disk=True"
+                )
+            # Background-only render: substitute an (unused, DCEd) dummy
+            # so the shard_map arg structure stays array-shaped.
+            disk_mips = jnp.zeros((1, 1, 1, 4), jnp.float32)
         # The declared frames_per_device fixes the total frame count;
         # a mismatched cam_pack would otherwise silently reshard to a
         # different per-device batch than the caller planned for.

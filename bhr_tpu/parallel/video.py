@@ -278,13 +278,16 @@ def render_video_sharded(config: SceneConfig) -> None:
     updated after each completed batch, so interrupting loses at most
     one batch.
     """
-    import hashlib
     import json
     import os
-    import shutil
     import time
 
     from ..models.skybox import load_or_generate_skybox
+    from ..modes import (
+        load_video_progress,
+        video_resume_params,
+        video_temp_paths,
+    )
     from ..ops.sampling import pack_quad
     from ..utils.io import AsyncPNGWriter
     from .mesh import make_frame_mesh
@@ -299,48 +302,9 @@ def render_video_sharded(config: SceneConfig) -> None:
 
     output_path = config.output
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
-    temp_dir = os.path.join(
-        os.path.dirname(output_path) or ".",
-        ".frames_" + hashlib.md5(output_path.encode()).hexdigest()[:16],
-    )
-    progress_file = os.path.join(temp_dir, "progress.json")
-    params = {
-        "n_frames": config.n_frames,
-        "fov": config.fov,
-        "orbit": config.orbit,
-        "disk_rotation_speed": config.disk_rotation_speed,
-        "orbit_degrees": config.orbit_degrees,
-        "width": width,
-        "height": height,
-        "sharded": True,
-    }
-
-    completed = set()
-    if config.resume and os.path.isdir(temp_dir) and os.path.isfile(progress_file):
-        saved = json.load(open(progress_file))
-        saved_params = dict(saved.get("params", {}))
-        # The 'sharded' marker only records which engine rendered the
-        # frames; the scene is identical (stats cadence differs by a
-        # documented hair, PARITY.md #5). Never wipe hours of completed
-        # frames over it.
-        cross_engine = saved_params.pop("sharded", None) != params.get(
-            "sharded"
-        )
-        compare = {k: v for k, v in params.items() if k != "sharded"}
-        if saved_params != compare:
-            print("Parameters changed; starting over")
-            shutil.rmtree(temp_dir)
-            os.makedirs(temp_dir, exist_ok=True)
-        else:
-            completed = set(saved.get("completed", []))
-            if cross_engine and completed:
-                print("Resuming frames from the sequential engine "
-                      "(per-frame stats cadence differs slightly)")
-            print(f"Resuming: {len(completed)}/{config.n_frames} frames done")
-    else:
-        if os.path.isdir(temp_dir) and not config.resume:
-            shutil.rmtree(temp_dir)
-        os.makedirs(temp_dir, exist_ok=True)
+    temp_dir, progress_file = video_temp_paths(output_path)
+    params = video_resume_params(config, sharded=True)
+    completed, _ = load_video_progress(config, temp_dir, progress_file, params)
 
     skybox, _, _ = load_or_generate_skybox(
         config.texture, 2048, 1024, config.n_stars, seed=config.skybox_seed

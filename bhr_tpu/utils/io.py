@@ -50,7 +50,11 @@ def save_image(image: np.ndarray, path: str) -> None:
     if image.dtype == np.uint8:
         img_uint8 = image
     else:
-        img_uint8 = (np.clip(image, 0.0, 1.0) * 255.0).astype(np.uint8)
+        # Round (not truncate): the sharded video engine quantizes on
+        # device with jnp.round, and both engines share one frame dir
+        # under resume — the quantizers must agree. (The reference
+        # truncates, render.py:423; a half-LSB bias, not a visual one.)
+        img_uint8 = np.round(np.clip(image, 0.0, 1.0) * 255.0).astype(np.uint8)
     Image.fromarray(img_uint8, "RGB").save(path)
 
 

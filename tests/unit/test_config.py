@@ -61,6 +61,7 @@ def test_disk_texture_npy_cache(tmp_path):
         dict(anti_alias="bogus"),
         dict(disk_texture="x.png", video=True),
         dict(disk_texture="x.png", interactive=True),
+        dict(disk_texture="x.png", disk_model="v2"),
         dict(disk_generation_scale=3),
     ],
 )

@@ -187,3 +187,25 @@ def test_entity_layer_phi_scale_close_to_full_res():
     assert rel_err < 0.05, rel_err
     # Upsample must preserve total mass closely.
     assert np.allclose(half.sum(), full.sum(), rtol=0.01)
+
+
+def test_recompute_stats_rt_gating_matches_compose():
+    """With enable_rt=False the stats density must drop the RT term
+    exactly like the compose path (reference recompute_interactive_stats:
+    `rt_w = 0.20 if self._param_enable_rt else 0.0`, render.py:3676)."""
+    import jax.numpy as jnp
+
+    from bhr_tpu.models.dynamic_disk import _recompute_stats
+
+    comp = np.zeros((13, 16, 32), np.float32)
+    comp[7] = 1.0   # hot RT density plane
+    comp[12] = 1.0  # neutral disturbance modulation
+    edge = np.ones(16, np.float32)
+
+    p98_on, _, _ = _recompute_stats(jnp.asarray(comp), jnp.asarray(edge), True)
+    p98_off, _, _ = _recompute_stats(
+        jnp.asarray(comp), jnp.asarray(edge), False
+    )
+    # on: density = 0.15 + 0.20*rt = 0.35; off: the 0.15 base only.
+    assert abs(float(p98_on) - 0.35) < 0.02, float(p98_on)
+    assert abs(float(p98_off) - 0.15) < 0.02, float(p98_off)

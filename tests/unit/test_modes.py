@@ -138,6 +138,62 @@ def test_video_param_change_invalidates(tiny_cfg, tmp_path):
     assert sorted(data["completed"]) == [0, 1, 2]
 
 
+def test_video_scene_param_change_invalidates(tiny_cfg, tmp_path):
+    """Scene-defining params (seed, pov...) must invalidate a resume —
+    the reference's five-param set would silently keep stale frames."""
+    import shutil
+
+    from bhr_tpu.modes import (
+        load_video_progress, video_resume_params, video_temp_paths,
+    )
+
+    cfg = dataclasses.replace(tiny_cfg, video=True, resume=True)
+    temp_dir, progress_file = video_temp_paths(cfg.output)
+    os.makedirs(temp_dir, exist_ok=True)
+    params = video_resume_params(cfg)
+    json.dump({"params": params, "completed": [0, 1]},
+              open(progress_file, "w"))
+
+    for changed in (
+        dataclasses.replace(cfg, seed=7),
+        dataclasses.replace(cfg, pov=(8.0, 0.0, 0.5)),
+        dataclasses.replace(cfg, disk_tilt=30.0),
+    ):
+        os.makedirs(temp_dir, exist_ok=True)
+        json.dump({"params": params, "completed": [0, 1]},
+                  open(progress_file, "w"))
+        done, _ = load_video_progress(
+            changed, temp_dir, progress_file,
+            video_resume_params(changed),
+        )
+        assert done == set(), f"stale frames kept for {changed}"
+    shutil.rmtree(temp_dir, ignore_errors=True)
+
+
+def test_video_cross_engine_resume_not_invalidated(tiny_cfg):
+    """The 'sharded' engine marker must never wipe completed frames."""
+    import shutil
+
+    from bhr_tpu.modes import (
+        load_video_progress, video_resume_params, video_temp_paths,
+    )
+
+    cfg = dataclasses.replace(tiny_cfg, video=True, resume=True)
+    temp_dir, progress_file = video_temp_paths(cfg.output)
+    os.makedirs(temp_dir, exist_ok=True)
+    json.dump(
+        {"params": video_resume_params(cfg, sharded=True),
+         "completed": [0, 2]},
+        open(progress_file, "w"),
+    )
+    done, cross = load_video_progress(
+        cfg, temp_dir, progress_file, video_resume_params(cfg, sharded=False)
+    )
+    assert done == {0, 2}
+    assert cross
+    shutil.rmtree(temp_dir, ignore_errors=True)
+
+
 def test_cli_defaults_match_reference():
     args = build_parser().parse_args([])
     cfg = config_from_args(args)
