@@ -92,6 +92,16 @@ class SceneConfig:
         # (0, 180) — a typo like --fov 190 must not render at 10).
         if not (0.0 < self.fov < 180.0):
             raise ValueError(f"FOV must be in (0, 180), got {self.fov}")
+        if (self.width is None) != (self.height is None):
+            raise ValueError(
+                "width and height must be overridden together "
+                f"(got width={self.width}, height={self.height}); a lone "
+                "override would silently fall back to the resolution preset"
+            )
+        if self.width is not None and (self.width <= 0 or self.height <= 0):
+            raise ValueError(
+                f"image size must be positive, got {self.width}x{self.height}"
+            )
         if self.disk_inner_radius >= self.disk_outer_radius:
             raise ValueError(
                 f"disk_inner_radius ({self.disk_inner_radius}) must be less "

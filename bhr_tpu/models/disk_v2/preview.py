@@ -52,7 +52,15 @@ def render_cross_section(
 ) -> jnp.ndarray:
     """(size_z, size_r) vertical slice of density or temperature."""
     rs = jnp.linspace(params.r_in * 0.8, params.r_out * 1.05, size_r)
-    z_max = float(jnp.max(jnp.asarray(params.h0 * params.r_out * 2.0)))
+    # Span the ACTUAL outer half-thickness H(r_out) = h0*r_out*
+    # (r_out/r_in)^beta_h (geometry.disk_half_thickness) with headroom;
+    # a plain h0*r_out*2 clips the flared surface when the flare
+    # exponent makes (r_out/r_in)^beta_h exceed 2.
+    from .geometry import disk_half_thickness
+
+    z_max = 1.25 * float(
+        disk_half_thickness(jnp.asarray(params.r_out), params)
+    )
     zs = jnp.linspace(-z_max, z_max, size_z)
     r_g, z_g = jnp.meshgrid(rs, zs)
     if field == "density":

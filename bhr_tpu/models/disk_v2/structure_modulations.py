@@ -172,8 +172,8 @@ def hotspot_modulation(
             raw = raw + weight * (core - halo_w * halo)
         return raw
 
-    if not spots:
-        return jnp.ones(jnp.broadcast_shapes(r.shape, jnp.shape(phi)))
+    # spots is never empty: DiskV2StructureParams rejects
+    # hotspot_count <= 0 in __post_init__.
     signed = jnp.clip(
         raw_fn(phi, log_r) / _lattice_max_abs(raw_fn, log_span), -1.0, 1.0
     )

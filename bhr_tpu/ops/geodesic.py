@@ -296,10 +296,11 @@ def trace_geodesics(
             )
             # Masked scatter: non-recording rays get out-of-range indices
             # and are dropped; XLA keeps the carried buffer in place.
+            # NOT unique_indices=True: every non-recording ray shares the
+            # out-of-range row n, and duplicates under that promise are
+            # documented UB even when mode="drop" discards them.
             scatter_rows = jnp.where(record, ray_ids, n)
-            hits = hits.at[scatter_rows, hit_count].set(
-                feat, mode="drop", unique_indices=True
-            )
+            hits = hits.at[scatter_rows, hit_count].set(feat, mode="drop")
             hit_count = hit_count + record.astype(jnp.int32)
 
         keep = survive[:, None]

@@ -174,6 +174,14 @@ def _bilinear_quad_gather(
     tab2d = qtex.reshape(tex_h * tex_w, -1)
     c = channels
 
+    out = _quad_blend_map(tab2d, flat, fu, fv, c)
+    return out.reshape(*batch_shape, c)
+
+
+def _quad_blend_map(tab2d, flat, fu, fv, c):
+    """Banded gather + decode + bilinear blend over flat quad-row
+    indices (the shared tail of every quad-packed sampler)."""
+
     def blend(flat_b, fu_b, fv_b):
         q = _decode_quad(jnp.take(tab2d, flat_b, axis=0))
         c00, c10 = q[..., :c], q[..., c : 2 * c]
@@ -187,8 +195,7 @@ def _bilinear_quad_gather(
             + c11 * fu_c * fv_c
         )
 
-    out = _banded_map(blend, flat, fu, fv)
-    return out.reshape(*batch_shape, c)
+    return _banded_map(blend, flat, fu, fv)
 
 
 def sample_skybox_quad(qtexture: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
@@ -253,11 +260,7 @@ def sample_disk_mip_quad(
 ) -> jnp.ndarray:
     """Mip-LOD sample from a quad-packed pyramid (one gather per sample)."""
     base_h, base_w = qmips.shape[1], qmips.shape[2]
-    r = jnp.sqrt(hit_x**2 + hit_y**2)
-    phi = fast_atan2(hit_y, hit_x)
-    r_safe = jnp.maximum(r, 1e-3)
-    omega = jnp.sqrt(0.5 / (r_safe**3 + 1e-6))
-    phi = jnp.mod(phi + t_offset * omega, TWO_PI)
+    r, phi = _disk_polar(hit_x, hit_y, t_offset, fast_trig=True)
 
     lod_i = jnp.clip(lod, 0.0, num_levels - 1).astype(jnp.int32)
     scale = jnp.power(2.0, lod_i.astype(jnp.float32))
@@ -284,21 +287,8 @@ def sample_disk_mip_quad(
     c = channels
     batch_shape = flat.shape
 
-    def blend(flat_b, fu_b, fv_b):
-        q = _decode_quad(jnp.take(tab2d, flat_b, axis=0))
-        c00, c10 = q[..., :c], q[..., c : 2 * c]
-        c01, c11 = q[..., 2 * c : 3 * c], q[..., 3 * c :]
-        fu_c = fu_b[..., None]
-        fv_c = fv_b[..., None]
-        return (
-            c00 * (1 - fu_c) * (1 - fv_c)
-            + c10 * fu_c * (1 - fv_c)
-            + c01 * (1 - fu_c) * fv_c
-            + c11 * fu_c * fv_c
-        )
-
-    out = _banded_map(
-        blend, flat.reshape(-1), fu.reshape(-1), fv.reshape(-1)
+    out = _quad_blend_map(
+        tab2d, flat.reshape(-1), fu.reshape(-1), fv.reshape(-1), c
     )
     return out.reshape(*batch_shape, c)
 
@@ -322,6 +312,26 @@ def sample_skybox(texture: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
     return _bilinear_gather(texture, u, v)
 
 
+def _disk_polar(
+    hit_x: jnp.ndarray,
+    hit_y: jnp.ndarray,
+    t_offset: float,
+    fast_trig: bool = False,
+):
+    """(r, Keplerian-advected phi in [0, 2pi)) for a disk-plane hit.
+
+    fast_trig selects the polynomial atan2 (ops/fastmath.py) used by the
+    quad-packed production paths; the f32 reference paths keep exact
+    arctan2 (the cross-backend tolerance accounts for the difference).
+    """
+    r = jnp.sqrt(hit_x**2 + hit_y**2)
+    phi = fast_atan2(hit_y, hit_x) if fast_trig else jnp.arctan2(hit_y, hit_x)
+    r_safe = jnp.maximum(r, 1e-3)
+    omega = jnp.sqrt(0.5 / (r_safe**3 + 1e-6))
+    phi = jnp.mod(phi + t_offset * omega, TWO_PI)
+    return r, phi
+
+
 def _disk_uv(
     hit_x: jnp.ndarray,
     hit_y: jnp.ndarray,
@@ -333,11 +343,7 @@ def _disk_uv(
     fast_trig: bool = False,
 ):
     """Polar texture coordinates for a disk-plane hit, with Keplerian spin."""
-    r = jnp.sqrt(hit_x**2 + hit_y**2)
-    phi = fast_atan2(hit_y, hit_x) if fast_trig else jnp.arctan2(hit_y, hit_x)
-    r_safe = jnp.maximum(r, 1e-3)
-    omega = jnp.sqrt(0.5 / (r_safe**3 + 1e-6))
-    phi = jnp.mod(phi + t_offset * omega, TWO_PI)
+    r, phi = _disk_polar(hit_x, hit_y, t_offset, fast_trig)
     u = phi / TWO_PI * tex_w
     v = (r - r_inner) / (r_outer - r_inner) * tex_h
     return u, v
@@ -400,11 +406,7 @@ def sample_disk_mip(
     reference's `lod_i = int(clamp(lod, 0, L-1))`).
     """
     base_h, base_w = mips.shape[1], mips.shape[2]
-    r = jnp.sqrt(hit_x**2 + hit_y**2)
-    phi = jnp.arctan2(hit_y, hit_x)
-    r_safe = jnp.maximum(r, 1e-3)
-    omega = jnp.sqrt(0.5 / (r_safe**3 + 1e-6))
-    phi = jnp.mod(phi + t_offset * omega, TWO_PI)
+    r, phi = _disk_polar(hit_x, hit_y, t_offset)
 
     lod_i = jnp.clip(lod, 0.0, num_levels - 1).astype(jnp.int32)
     scale = jnp.power(2.0, lod_i.astype(jnp.float32))

@@ -291,6 +291,7 @@ def shade_frame_v2(
     t_offset,
     palette: str = "cinematic",
     n_samples: int = 8,
+    seed: int = 42,
     color_temp: float = DISK_COLOR_TEMPERATURE,
     image_shape: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -338,7 +339,7 @@ def shade_frame_v2(
 
         intensity, temp_mean, alpha = integrate_emission(
             hit_pos_d, ray_dir_d, v2_params, v2_structure,
-            n_samples=n_samples, t=t_offset,
+            n_samples=n_samples, seed=seed, t=t_offset,
         )
         t_peak = float(v2_params.temp_scale)
         color = apply_palette(
@@ -494,6 +495,7 @@ class Renderer:
                         v2_params=v2_params, v2_structure=None,
                         tilt_deg=float(cfg.disk_tilt),
                         t_offset=t_offset,
+                        seed=int(cfg.seed),
                         image_shape=(self.height, self.width),
                     )
 

@@ -276,3 +276,22 @@ def test_modulation_batch_independent():
     np.testing.assert_array_equal(sub, full[:5])
     one = float(structure_modulation(r[0], phi[0], P))
     np.testing.assert_allclose(one, full[0], rtol=1e-6)
+
+
+def test_pipeline_v2_seed_reaches_structure():
+    """Regression: the renderer must thread config.seed into the V2
+    volume shading (the CLI --seed flag changes the disk structure)."""
+    import inspect
+
+    from bhr_tpu.pipeline import shade_frame_v2
+
+    assert "seed" in inspect.signature(shade_frame_v2).parameters
+
+    from bhr_tpu.models.disk_v2.integrator import integrate_emission
+
+    pos = jnp.asarray([[3.0, 0.5, 0.0], [4.0, -1.0, 0.0]])
+    dirs = jnp.asarray([[0.0, 0.3, 0.95], [0.1, 0.0, 0.99]])
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    i1, _, _ = integrate_emission(pos, dirs, P, seed=1)
+    i2, _, _ = integrate_emission(pos, dirs, P, seed=2)
+    assert not np.allclose(np.asarray(i1), np.asarray(i2))
