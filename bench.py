@@ -95,9 +95,9 @@ def time_resolution(resolution: str, batch: int,
     )
 
     mesh = make_frame_mesh(1, 1, devices=jax.devices()[:1])
-    r_escape = max(
-        cfg.r_max, 2.0 * float(np.linalg.norm(np.asarray(cfg.pov)))
-    )
+    from bhr_tpu.config import escape_radius
+
+    r_escape = escape_radius(cfg.r_max, cfg.pov)
     render = build_sharded_video_renderer(
         mesh, cfg, n_r, n_phi, r_escape=r_escape,
         az_freq=dynamic.az_freq, az_shear=dynamic.az_shear,

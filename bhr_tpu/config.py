@@ -141,6 +141,20 @@ class SceneConfig:
         return self
 
 
+def escape_radius(r_max: float, cam_pos) -> float:
+    """Trace escape radius: ``max(r_max, 2 x camera distance)`` — the
+    reference's formula (render.py:3829, 3884). ONE source for every
+    engine (per-frame renderer, sharded video, bench, driver hooks).
+
+    Note the reference semantics this preserves: with the default
+    r_max=10 and disk_outer_radius=15, disk-plane crossings beyond the
+    escape radius are shaded as sky in BOTH implementations — raising
+    r_max is the supported way to render the far annulus.
+    """
+    d = math.sqrt(sum(float(c) ** 2 for c in cam_pos))
+    return max(float(r_max), 2.0 * d)
+
+
 def compute_disk_texture_resolution(
     width: int,
     height: int,

@@ -34,7 +34,11 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..camera import build_camera, orbit_camera_position
-from ..config import SceneConfig, compute_disk_texture_resolution
+from ..config import (
+    SceneConfig,
+    compute_disk_texture_resolution,
+    escape_radius,
+)
 from ..constants import MAX_DISK_CROSSINGS
 from ..models.disk_texture import compose_from_components, keplerian_omega
 from ..models.dynamic_disk import (
@@ -252,10 +256,7 @@ def render_video_frames_sharded(
     )
     idx = np.asarray(frame_indices)
     if renderer_fn is None:
-        r_escape = max(
-            config.r_max,
-            2.0 * float(np.linalg.norm(np.asarray(config.pov))),
-        )
+        r_escape = escape_radius(config.r_max, config.pov)
         renderer_fn = build_sharded_video_renderer(
             mesh, config, dynamic.n_r, dynamic.n_phi,
             r_escape=r_escape, az_freq=dynamic.az_freq,
@@ -329,9 +330,7 @@ def render_video_sharded(config: SceneConfig) -> None:
     )
     print(f"  packed in {time.time() - t0:.1f}s")
 
-    r_escape = max(
-        config.r_max, 2.0 * float(np.linalg.norm(np.asarray(config.pov)))
-    )
+    r_escape = escape_radius(config.r_max, config.pov)
     renderer_fn = build_sharded_video_renderer(
         mesh, config, n_r, n_phi,
         r_escape=r_escape, az_freq=dynamic.az_freq, az_shear=dynamic.az_shear,

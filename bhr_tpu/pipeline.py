@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .camera import Camera, build_camera
-from .config import SceneConfig
+from .config import SceneConfig, escape_radius
 from .constants import DISK_ALPHA_GAIN, DISK_COLOR_TEMPERATURE, MAX_DISK_CROSSINGS
 from .ops import geodesic
 from .ops.bloom import apply_bloom
@@ -585,8 +585,7 @@ class Renderer:
     def _run_frame(self, cam_pos, fov, frame, skip_differentials, skip_bloom,
                    use_flare):
         camera = build_camera(cam_pos, fov, self.width, self.height)
-        distance = float(np.linalg.norm(np.asarray(cam_pos, dtype=np.float64)))
-        r_escape = max(self.config.r_max, distance * 2.0)
+        r_escape = escape_radius(self.config.r_max, cam_pos)
         if self.r_escape_quantum > 0.0:
             q = self.r_escape_quantum
             r_escape = float(np.ceil(r_escape / q) * q)

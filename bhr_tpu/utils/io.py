@@ -164,14 +164,19 @@ def write_mjpeg_avi(
             with Image.open(p_frame) as im:
                 im.convert("RGB").save(buf, "JPEG", quality=quality)
             data = buf.getvalue()
-            if len(data) % 2:
-                data += b"\x00"
-            fh.write(chunk_header(b"00dc", len(data)) + data)
+            # RIFF: ckSize excludes the odd-length pad byte; the pad is
+            # written after the declared payload (a padded-in ckSize
+            # makes strict re-muxers carry a trailing 0x00 into the
+            # JPEG stream).
+            pad = b"\x00" if len(data) % 2 else b""
+            fh.write(chunk_header(b"00dc", len(data)) + data + pad)
             index.append((offset, len(data)))
-            offset += 8 + len(data)
+            offset += 8 + len(data) + len(pad)
             max_size = max(max_size, len(data))
 
-        movi_size = 4 + sum(8 + sz for _, sz in index)
+        # offset accumulated 8 + payload + pad per chunk from a start of
+        # 4 (the 'movi' fourcc), which is exactly the LIST payload size.
+        movi_size = offset
         fh.write(chunk_header(b"idx1", 16 * n))
         for off, sz in index:
             fh.write(struct.pack("<4sIII", b"00dc", 0x10, off, sz))

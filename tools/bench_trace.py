@@ -34,6 +34,8 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from bhr_tpu.config import escape_radius
+
     from bhr_tpu.camera import build_camera
     from bhr_tpu.ops.geodesic_pallas import (
         camera_params,
@@ -47,7 +49,9 @@ def main() -> int:
     cam = build_camera([6.0, 0.0, 0.5], 90.0, W, H)
     cp = jnp.asarray(camera_params(cam))
     kw = dict(
-        width=W, height=H, h_base=0.1, r_escape=15.0, tilt_deg=15.0,
+        width=W, height=H, h_base=0.1,
+        r_escape=escape_radius(10.0, [6.0, 0.0, 0.5]),  # production formula
+        tilt_deg=15.0,
         r_inner=2.0, r_outer=15.0, with_differentials=args.aa,
     )
 

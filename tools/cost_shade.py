@@ -16,9 +16,13 @@ def main() -> int:
     import jax.numpy as jnp
 
     from bhr_tpu.pipeline import shade_frame
-    from tools._diag_scene import build_fhd_shade_inputs
+    from bhr_tpu.utils.cache import enable_compile_cache
+    from tools._diag_scene import fhd_shade_avals
 
-    W, H, cp, skybox_q, qmips, trace = build_fhd_shade_inputs()
+    enable_compile_cache()
+    # Abstract inputs: lower()/cost_analysis only need avals — skip the
+    # minutes of asset generation + device trace the timing tools need.
+    W, H, cp, skybox_q, qmips, trace = fhd_shade_avals()
 
     def shade(trace, skybox_q, qmips):
         bg, disk, _ = shade_frame(

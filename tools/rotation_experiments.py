@@ -33,7 +33,10 @@ def main() -> int:
     ap.add_argument("--n_phi", type=int, default=512)
     ap.add_argument("--n_r", type=int, default=128)
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--t", type=float, default=5.0)
+    # Non-integer default: at integer t the keyframe experiment
+    # degenerates to frac=0 (bitwise-equal to the roll result) and
+    # the interpolation error metric reads 0 without measuring.
+    ap.add_argument("--t", type=float, default=5.5)
     ap.add_argument("--out", type=str, default="output/rotation_experiments")
     args = ap.parse_args()
 
@@ -54,10 +57,13 @@ def main() -> int:
     t0 = time.time()
     state = build_parametric_state(**kw)
     build_s = time.time() - t0
-    # Warm the jitted compose first: experiments 3/4 run warm (their
-    # programs compile here), so timing a cold first call would bias
-    # the A/B comparison against the roll path.
+    # Warm BOTH jitted compose variants first (t != 0 rolls; an
+    # integer-floored keyframe t of 0.0 selects the static skip_roll
+    # program — a different compile): experiments 1/3 must run warm, so
+    # any cold compile inside a timing window would bias the A/B.
     np.asarray(compose_from_state(state, args.t))
+    np.asarray(compose_from_state(state, float(np.floor(args.t))))
+    np.asarray(compose_from_state(state, float(np.floor(args.t)) + 1.0))
     t0 = time.time()
     tex_roll = np.asarray(compose_from_state(state, args.t))
     np.asarray(compose_from_state(state, args.t + 0.1))

@@ -43,7 +43,11 @@ def main() -> int:
             failures.append(f"e2e golden verify [{scene}] rc={rc}")
 
     # -- 2. sharded dynamic video renderer ----------------------------------
-    from bhr_tpu.config import SceneConfig, compute_disk_texture_resolution
+    from bhr_tpu.config import (
+        SceneConfig,
+        compute_disk_texture_resolution,
+        escape_radius,
+    )
     from bhr_tpu.models.dynamic_disk import DynamicDiskSystem
     from bhr_tpu.models.skybox import generate_skybox
     from bhr_tpu.ops.sampling import pack_quad, quantize_packed
@@ -74,7 +78,8 @@ def main() -> int:
         fil, hs, rt = pack_frame_params(dyn, 2, cfg.disk_rotation_speed)
         mesh = make_frame_mesh(1, 1, devices=jax.devices()[:1])
         rend = build_sharded_video_renderer(
-            mesh, cfg, n_r, n_phi, r_escape=15.0,
+            mesh, cfg, n_r, n_phi,
+            r_escape=escape_radius(cfg.r_max, cfg.pov),
             az_freq=dyn.az_freq, az_shear=dyn.az_shear, tex_dtype=tex_dtype,
         )
         cams = cameras_for_orbit(cfg, [0, 1], width, height)
