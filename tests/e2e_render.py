@@ -24,6 +24,12 @@ import sys
 
 import numpy as np
 
+# Runnable as `python tests/e2e_render.py` from the repo root without
+# installing the package: put the repo root on sys.path.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 # Tolerances for cross-compilation verification (same backend should be
@@ -44,11 +50,13 @@ XB_MEAN_ABS_TOL = 5e-4
 #   default — plain texture disk, AA off.
 #   aa      — ray-differential AA (diff RK4 transport + mip-LOD).
 #   v2      — disk_v2 volume renderer (slab radiative transfer).
+#   flare   — lens-flare stack (ghosts/rings/hex/streaks, ops/lens_flare).
 # ``aa=True`` is accepted as an alias for scene="aa".
 SCENES = {
     "default": {},
     "aa": {"anti_alias": "lod_radius"},
     "v2": {"disk_model": "v2"},
+    "flare": {"lens_flare": True},
 }
 _SUFFIXES = {name: ("" if name == "default" else f"_{name}")
              for name in SCENES}

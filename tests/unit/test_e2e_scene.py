@@ -69,3 +69,10 @@ def test_e2e_v2_matches_golden_if_present():
     # Same geometry through the disk_v2 volume renderer: pins the slab
     # radiative transfer, structure modulation, and palette paths.
     _check_scene_golden("v2")
+
+
+def test_e2e_flare_matches_golden_if_present():
+    # Same scene with the lens-flare stack: pins the ghost blobs,
+    # diffraction rings, hex aperture, and star streaks of
+    # ops/lens_flare.py, which the other families never execute.
+    _check_scene_golden("flare")
