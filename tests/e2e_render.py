@@ -63,6 +63,11 @@ _SUFFIXES = {name: ("" if name == "default" else f"_{name}")
 
 
 def _scene_name(scene, aa: bool) -> str:
+    if aa and scene not in (None, "default", "aa"):
+        raise ValueError(
+            f"aa=True conflicts with explicit scene {scene!r} — the alias "
+            "would silently validate the wrong golden family"
+        )
     name = "aa" if aa else (scene or "default")
     if name not in SCENES:
         raise ValueError(f"unknown golden scene {name!r}")

@@ -280,18 +280,26 @@ def test_modulation_batch_independent():
 
 def test_pipeline_v2_seed_reaches_structure():
     """Regression: the renderer must thread config.seed into the V2
-    volume shading (the CLI --seed flag changes the disk structure)."""
-    import inspect
+    volume shading — two Renderer configs differing ONLY in seed must
+    produce different disk structure (the original bug: CLI --seed had
+    no effect on the V2 disk)."""
+    import dataclasses
 
-    from bhr_tpu.pipeline import shade_frame_v2
+    from bhr_tpu.config import SceneConfig
+    from bhr_tpu.models.skybox import generate_skybox
+    from bhr_tpu.pipeline import Renderer
 
-    assert "seed" in inspect.signature(shade_frame_v2).parameters
+    cfg = SceneConfig(
+        width=64, height=36, fov=60.0, step_size=0.3, n_stars=50,
+        disk_inner_radius=2.0, disk_outer_radius=3.5, disk_tilt=15.0,
+        disk_model="v2",
+    ).validated()
+    sky = generate_skybox(256, 128, seed=42, n_stars=50)
 
-    from bhr_tpu.models.disk_v2.integrator import integrate_emission
-
-    pos = jnp.asarray([[3.0, 0.5, 0.0], [4.0, -1.0, 0.0]])
-    dirs = jnp.asarray([[0.0, 0.3, 0.95], [0.1, 0.0, 0.99]])
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    i1, _, _ = integrate_emission(pos, dirs, P, seed=1)
-    i2, _, _ = integrate_emission(pos, dirs, P, seed=2)
-    assert not np.allclose(np.asarray(i1), np.asarray(i2))
+    imgs = []
+    for seed in (1, 2):
+        r = Renderer(dataclasses.replace(cfg, seed=seed), sky, None)
+        imgs.append(r.render(cfg.pov, cfg.fov))
+    assert not np.allclose(imgs[0], imgs[1]), (
+        "config.seed does not reach the V2 structure modulation"
+    )

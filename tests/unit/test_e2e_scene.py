@@ -7,7 +7,13 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from e2e_render import golden_path, render_e2e_scene  # noqa: E402
+from e2e_render import (  # noqa: E402
+    MAX_ABS_TOL,
+    MEAN_ABS_TOL,
+    OUTLIER_FRAC,
+    golden_path,
+    render_e2e_scene,
+)
 
 
 def test_e2e_scene_deterministic_and_sane():
@@ -28,22 +34,9 @@ def test_e2e_scene_deterministic_and_sane():
     np.testing.assert_array_equal(img, img2)
 
 
-def test_e2e_matches_golden_if_present():
-    path = golden_path()
-    if not os.path.exists(path):
-        import pytest
-
-        pytest.skip("no golden for this backend yet")
-    data = np.load(path, allow_pickle=True)
-    golden = data["image"]
-    img = render_e2e_scene()
-    if hashlib.md5(img.tobytes()).hexdigest() == str(data["md5"]):
-        return
-    diff = np.abs(img.astype(np.float64) - golden.astype(np.float64))
-    assert diff.max() <= 5e-3 and diff.mean() <= 2e-4
-
-
 def _check_scene_golden(scene: str):
+    """Same contract as e2e_render.verify(): bit-exact short-circuit,
+    then the shared tolerance bounds (single source of the literals)."""
     path = golden_path(scene)
     if not os.path.exists(path):
         import pytest
@@ -55,7 +48,14 @@ def _check_scene_golden(scene: str):
     if hashlib.md5(img.tobytes()).hexdigest() == str(data["md5"]):
         return
     diff = np.abs(img.astype(np.float64) - golden.astype(np.float64))
-    assert diff.max() <= 5e-3 and diff.mean() <= 2e-4
+    assert diff.max() <= MAX_ABS_TOL, diff.max()
+    assert diff.mean() <= MEAN_ABS_TOL, diff.mean()
+    outliers = (diff > 10 * MEAN_ABS_TOL).mean()
+    assert outliers <= OUTLIER_FRAC, outliers
+
+
+def test_e2e_matches_golden_if_present():
+    _check_scene_golden("default")
 
 
 def test_e2e_aa_matches_golden_if_present():

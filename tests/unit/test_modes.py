@@ -49,15 +49,18 @@ def test_video_resume_skips_completed(tiny_cfg, tmp_path):
     data["completed"] = [0]
     json.dump(data, open(progress, "w"))
     frame1 = glob.glob(str(tmp_path / ".frames_*" / "frame_0001.png"))[0]
-    mtime0 = os.path.getmtime(glob.glob(str(tmp_path / ".frames_*" / "frame_0000.png"))[0])
+    frame0 = glob.glob(str(tmp_path / ".frames_*" / "frame_0000.png"))[0]
+    # Nanosecond mtime + inode: getmtime float equality can false-pass
+    # on coarse-granularity filesystems when a buggy resume rewrites
+    # the (deterministic) frame sub-second after the first run.
+    st0 = os.stat(frame0)
     os.remove(frame1)
 
     render_video(dataclasses.replace(cfg, resume=True))
     # frame 1 re-rendered, frame 0 untouched
     assert os.path.exists(frame1)
-    assert os.path.getmtime(
-        glob.glob(str(tmp_path / ".frames_*" / "frame_0000.png"))[0]
-    ) == mtime0
+    st0b = os.stat(frame0)
+    assert (st0b.st_mtime_ns, st0b.st_ino) == (st0.st_mtime_ns, st0.st_ino)
 
 
 def test_failed_png_write_never_marked_completed(tiny_cfg, tmp_path,

@@ -120,9 +120,9 @@ def test_mip_sampling_levels():
     )
     # Level 1 is fully averaged.
     np.testing.assert_allclose(lod1[0], 0.5, atol=1e-5)
-    # Level 0 keeps contrast (value depends on the row hit, but must be
-    # near 0, 0.5, or 1 depending on v-frac; just check they differ).
-    assert not np.allclose(lod0, lod1, atol=1e-3) or True
+    # Level 0 keeps contrast: r=3.0 maps to v=8.0 exactly (v-frac 0), a
+    # pure even row, which the alternating pattern zeroes.
+    np.testing.assert_allclose(lod0[0], 0.0, atol=1e-5)
 
 
 def test_quad_pack_matches_four_gather():

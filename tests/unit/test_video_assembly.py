@@ -48,17 +48,27 @@ def test_mjpeg_avi_structure_and_frames(tmp_path):
     assert s_fields[9] == 4  # dwLength = n frames
     assert s_fields[12] == 0  # dwSampleSize == 0 (variable-size frames)
 
-    # Every 00dc chunk must decode as a JPEG of the right size.
-    pos, count = 0, 0
-    while True:
-        pos = data.find(b"00dc", pos + 1)
-        if pos < 0 or pos > data.find(b"idx1"):
-            break
+    # Walk the movi LIST chunk by chunk (a raw byte scan for b"00dc"
+    # can false-match inside JPEG entropy data): every 00dc chunk must
+    # decode as a JPEG of the right size, with the RIFF pad byte
+    # OUTSIDE the declared chunk size.
+    movi_at = data.find(b"LIST", 12)
+    while data[movi_at + 8 : movi_at + 12] != b"movi":
+        movi_at = data.find(
+            b"LIST", movi_at + 8 + struct.unpack(
+                "<I", data[movi_at + 4 : movi_at + 8])[0]
+        )
+    movi_size = struct.unpack("<I", data[movi_at + 4 : movi_at + 8])[0]
+    pos, end, count = movi_at + 12, movi_at + 8 + movi_size, 0
+    while pos < end:
+        assert data[pos : pos + 4] == b"00dc"
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
-        jpg = data[pos + 8 : pos + 8 + size].rstrip(b"\x00")
+        jpg = data[pos + 8 : pos + 8 + size]
+        assert jpg[-2:] == b"\xff\xd9", "ckSize must end at the JPEG EOI"
         img = Image.open(io.BytesIO(jpg))
         assert img.size == (64, 32)
         count += 1
+        pos += 8 + size + (size % 2)  # pad byte outside ckSize
     assert count == 4
 
 
