@@ -22,7 +22,6 @@ import json
 import sys
 import time
 
-import numpy as np
 
 
 def build_skybox_q():

@@ -7,7 +7,7 @@ Parity target: `parse_args`/`validate_args` (/root/reference/render.py:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 from .constants import (

@@ -28,7 +28,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..constants import (
     DISK_COLOR_TEMPERATURE,

@@ -24,7 +24,6 @@ constant, identical for every evaluation set.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

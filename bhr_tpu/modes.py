@@ -22,7 +22,7 @@ from .config import SceneConfig, compute_disk_texture_resolution
 from .models.dynamic_disk import DynamicDiskSystem
 from .models.skybox import load_or_generate_skybox
 from .pipeline import Renderer
-from .utils.io import AsyncPNGWriter, load_disk_texture, save_image
+from .utils.io import AsyncPNGWriter, load_disk_texture
 
 
 def _make_renderer(config: SceneConfig,

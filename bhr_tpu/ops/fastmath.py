@@ -9,7 +9,6 @@ below the bilinear filter's own footprint.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _PI = 3.14159265358979

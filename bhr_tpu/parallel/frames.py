@@ -18,7 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..camera import Camera, build_camera
+from ..camera import build_camera
 from ..config import SceneConfig
 from ..constants import MAX_DISK_CROSSINGS
 from ..ops import geodesic

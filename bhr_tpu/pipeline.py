@@ -14,7 +14,6 @@ This is the TPU-native replacement for the reference's `TaichiRenderer`
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -1,6 +1,5 @@
 """Entity lifecycle tests: fade math, death, steady state, accumulation."""
 
-import math
 
 import jax.numpy as jnp
 import numpy as np

@@ -40,8 +40,6 @@ def main() -> int:
     ap.add_argument("--out", type=str, default="output/rotation_experiments")
     args = ap.parse_args()
 
-    import jax.numpy as jnp
-
     from bhr_tpu.models.disk_texture import (
         build_parametric_state,
         compose_from_state,
