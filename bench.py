@@ -94,9 +94,9 @@ def time_resolution(resolution: str, batch: int,
     )
 
     mesh = make_frame_mesh(1, 1, devices=jax.devices()[:1])
-    from bhr_tpu.config import escape_radius
+    from bhr_tpu.config import scene_escape_radius
 
-    r_escape = escape_radius(cfg.r_max, cfg.pov)
+    r_escape = scene_escape_radius(cfg)
     render = build_sharded_video_renderer(
         mesh, cfg, n_r, n_phi, r_escape=r_escape,
         az_freq=dynamic.az_freq, az_shear=dynamic.az_shear,

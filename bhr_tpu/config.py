@@ -155,6 +155,28 @@ def escape_radius(r_max: float, cam_pos) -> float:
     return max(float(r_max), 2.0 * d)
 
 
+def scene_escape_radius(config: "SceneConfig") -> float:
+    """Escape radius for a whole scene or video, identical across engines.
+
+    Orbit videos place every frame's camera at distance
+    ``sqrt(|pov|**2 + pov_z**2)``: the orbit keeps radius ``|pov|`` (3-D
+    norm) in the xy-plane AND preserves z (camera.orbit_camera_position;
+    reference render.py:4440-4447), so the sequential engine's per-frame
+    ``escape_radius(r_max, cam_pos)`` is one constant. Computing that
+    same constant here keeps the batched sharded engine tracing the
+    identical scene — with pov z != 0, ``escape_radius(r_max, pov)``
+    would be slightly smaller and far-annulus disk crossings would
+    flicker between engines under cross-engine resume.
+    """
+    if config.orbit:
+        d = math.sqrt(
+            sum(float(c) ** 2 for c in config.pov)
+            + float(config.pov[2]) ** 2
+        )
+        return max(float(config.r_max), 2.0 * d)
+    return escape_radius(config.r_max, config.pov)
+
+
 def compute_disk_texture_resolution(
     width: int,
     height: int,

@@ -361,9 +361,15 @@ def generate_filaments(
 
 def generate_rt_spikes(
     key, n_r: int, n_phi: int, disk_area: float, enable_rt: bool = True,
-    generation_scale: int = 2, max_count: int = 48,
+    generation_scale: int = 2, max_count: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Rayleigh-Taylor instability fingers, biased toward the inner disk."""
+    """Rayleigh-Taylor instability fingers, biased toward the inner disk.
+
+    The padded slot count covers the draw's true upper bound
+    ``30 * disk_area * 0.8`` (reference render.py:1517): disk_area is a
+    host-side float, so the shape stays static per scene while wide
+    disks get their full 100s of fingers instead of a silent cap.
+    """
     if not enable_rt:
         zeros = jnp.zeros((n_r, n_phi))
         return zeros, zeros
@@ -372,6 +378,8 @@ def generate_rt_spikes(
     lr, lp = n_r // scale, n_phi // scale
     phi_g, r_g = _polar_grids(lr, lp)
 
+    if max_count is None:
+        max_count = max(int(30.0 * disk_area * 0.8) + 1, 1)
     keys = jax.random.split(key, 7)
     count_f = jax.random.uniform(keys[0], (), minval=15.0, maxval=30.0)
     count = (count_f * disk_area * 0.8).astype(jnp.int32)
@@ -387,19 +395,24 @@ def generate_rt_spikes(
     delta_ts = jax.random.uniform(keys[6], (max_count,), minval=0.5, maxval=1.2)
 
     kappa = 1.5 / (phi_widths**2)
-    az = jnp.exp(
-        kappa[:, None, None] * (jnp.cos(phi_g[None] - phis[:, None, None]) - 1.0)
-    )
-    r_diff = r_g[None] - r_bases[:, None, None]
-    fade_out = jnp.clip(r_lengths[:, None, None] * 2.0 - r_diff, 0.0, 1.0)
-    fade_in = jnp.clip(r_diff / (r_lengths[:, None, None] * 0.3), 0.0, 1.0)
-    r_prof = (
-        jnp.exp(-0.5 * (r_diff / (r_lengths[:, None, None] * 0.4)) ** 2)
-        * fade_out * fade_in
-    )
-    val = az * r_prof * (intensities * alive)[:, None, None]
-    spikes = jnp.clip(jnp.sum(val, axis=0), 0.0, 1.0)
-    temp = jnp.sum(val * delta_ts[:, None, None], axis=0)
+    spikes = jnp.zeros((lr, lp))
+    temp = jnp.zeros((lr, lp))
+    chunk = 75  # bound the (chunk, lr, lp) broadcast like generate_filaments
+    for c0 in range(0, max_count, chunk):
+        c1 = min(c0 + chunk, max_count)
+        az = jnp.exp(
+            kappa[c0:c1][:, None, None]
+            * (jnp.cos(phi_g[None] - phis[c0:c1][:, None, None]) - 1.0)
+        )
+        r_diff = r_g[None] - r_bases[c0:c1][:, None, None]
+        rl = r_lengths[c0:c1][:, None, None]
+        fade_out = jnp.clip(rl * 2.0 - r_diff, 0.0, 1.0)
+        fade_in = jnp.clip(r_diff / (rl * 0.3), 0.0, 1.0)
+        r_prof = jnp.exp(-0.5 * (r_diff / (rl * 0.4)) ** 2) * fade_out * fade_in
+        val = az * r_prof * (intensities * alive)[c0:c1][:, None, None]
+        spikes = spikes + jnp.sum(val, axis=0)
+        temp = temp + jnp.sum(val * delta_ts[c0:c1][:, None, None], axis=0)
+    spikes = jnp.clip(spikes, 0.0, 1.0)
     return (
         _upscale(spikes, scale, n_r, n_phi),
         _upscale(temp, scale, n_r, n_phi),

@@ -46,16 +46,22 @@ def assemble_comp(bg: jnp.ndarray, staging: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_r", "n_phi", "enable_rt", "generation_scale"),
+    static_argnames=("n_r", "n_phi", "enable_rt", "generation_scale",
+                     "compose"),
 )
 def _dynamic_step(
     fil_params, hs_params, rt_params, omega_rows, edge,
     density_p98, struct_scale, row_stats,
     az_freq, az_shear, r_inner, r_outer, t,
     n_r: int, n_phi: int, enable_rt: bool, color_temp,
-    generation_scale: int = 2,
+    generation_scale: int = 2, compose: bool = True,
 ):
-    """Full device step: comp field + composed RGBA texture at time t."""
+    """Full device step: comp field (+ composed RGBA texture) at time t.
+
+    ``compose=False`` skips the texture compose — callers that recompute
+    stats (or solo a component) compose afterwards with the fresh stats,
+    and composing the full field twice per stats frame measurably costs.
+    """
     bg = generate_background_components(
         n_r, n_phi, az_freq, az_shear, r_inner, r_outer, t,
         generation_scale=generation_scale,
@@ -65,6 +71,8 @@ def _dynamic_step(
         phi_scale=generation_scale,
     )
     comp = assemble_comp(bg, staging)
+    if not compose:
+        return comp, None
     # Python-scalar 0.0: statically elides the per-row roll gather
     # (rotation lives in the background coords + entity phases).
     tex = compose_from_components(
@@ -225,6 +233,7 @@ class DynamicDiskSystem:
             self.n_r, self.n_phi, self.enable_rt,
             jnp.float32(self.color_temp),
             generation_scale=self.generation_scale,
+            compose=not (recompute_stats or solo_idx >= 0),
         )
         self.comp = comp
 
@@ -264,6 +273,7 @@ class DynamicDiskSystem:
             self.n_r, self.n_phi, self.enable_rt,
             jnp.float32(self.color_temp),
             generation_scale=self.generation_scale,
+            compose=False,
         )
         self.comp = comp
         self.density_p98, self.struct_scale, self.row_stats = (

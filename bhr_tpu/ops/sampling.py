@@ -228,7 +228,7 @@ def sample_disk_quad(
     return _bilinear_quad_gather(qtex, u, v, 4)
 
 
-def pack_quad_mips(mips: jnp.ndarray, num_levels: int) -> jnp.ndarray:
+def pack_quad_mips(mips: jnp.ndarray) -> jnp.ndarray:
     """Quad-pack each level of a padded (L, H, W, C) mip pyramid.
 
     Each level is packed within its own (H>>l, W>>l) active region so u
@@ -377,6 +377,9 @@ def build_mipmaps(base: jnp.ndarray, levels: int = 4) -> jnp.ndarray:
         ch, cw = cur.shape[0], cur.shape[1]
         if ch < 2 or cw < 2:
             break
+        # Drop a trailing odd row/column before halving (external
+        # --disk_texture images can have any dimensions).
+        cur = cur[: ch - ch % 2, : cw - cw % 2]
         cur = (
             cur[0::2, 0::2] + cur[1::2, 0::2] + cur[0::2, 1::2] + cur[1::2, 1::2]
         ) * 0.25

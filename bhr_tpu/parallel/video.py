@@ -36,7 +36,7 @@ from ..camera import build_camera, orbit_camera_position
 from ..config import (
     SceneConfig,
     compute_disk_texture_resolution,
-    escape_radius,
+    scene_escape_radius,
 )
 from ..constants import MAX_DISK_CROSSINGS
 from ..models.disk_texture import compose_from_components, keplerian_omega
@@ -159,7 +159,7 @@ def build_sharded_video_renderer(
                 mips = build_mipmaps(tex, levels=mip_levels)
                 num_levels = int(mips.shape[0])
                 qmips = quantize_packed(
-                    pack_quad_mips(mips, num_levels), tex_dtype
+                    pack_quad_mips(mips), tex_dtype
                 )
             else:
                 num_levels = 1
@@ -255,7 +255,7 @@ def render_video_frames_sharded(
     )
     idx = np.asarray(frame_indices)
     if renderer_fn is None:
-        r_escape = escape_radius(config.r_max, config.pov)
+        r_escape = scene_escape_radius(config)
         renderer_fn = build_sharded_video_renderer(
             mesh, config, dynamic.n_r, dynamic.n_phi,
             r_escape=r_escape, az_freq=dynamic.az_freq,
@@ -329,7 +329,7 @@ def render_video_sharded(config: SceneConfig) -> None:
     )
     print(f"  packed in {time.time() - t0:.1f}s")
 
-    r_escape = escape_radius(config.r_max, config.pov)
+    r_escape = scene_escape_radius(config)
     renderer_fn = build_sharded_video_renderer(
         mesh, config, n_r, n_phi,
         r_escape=r_escape, az_freq=dynamic.az_freq, az_shear=dynamic.az_shear,

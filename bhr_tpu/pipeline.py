@@ -436,7 +436,7 @@ class Renderer:
         def _mip_and_pack(tex):
             mips = build_mipmaps(tex, levels=mip_levels)
             qmips = quantize_packed(
-                pack_quad_mips(mips, mips.shape[0]), self.tex_dtype
+                pack_quad_mips(mips), self.tex_dtype
             )
             return mips, qmips
 
@@ -457,7 +457,7 @@ class Renderer:
         self.disk_mips = mips
         self.disk_qmips = jax.jit(
             lambda m: quantize_packed(
-                pack_quad_mips(m, int(mips.shape[0])), self.tex_dtype
+                pack_quad_mips(m), self.tex_dtype
             )
         )(mips)
         self.num_mip_levels = int(mips.shape[0])

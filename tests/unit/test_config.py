@@ -89,3 +89,25 @@ def test_texture_resolution_floors_and_rounding():
 def test_negative_orbit_degrees_allowed():
     cfg = SceneConfig(orbit_degrees=-360.0).validated()
     assert cfg.orbit_degrees == -360.0
+
+
+def test_scene_escape_radius_matches_per_frame_orbit_camera():
+    """The sharded engine's static escape radius must equal the
+    sequential engine's per-frame escape_radius(r_max, orbit cam pos)
+    for every orbit frame — with pov z != 0 the orbit camera distance
+    is sqrt(|pov|^2 + z^2), NOT |pov| (regression: far-annulus band
+    flickering between engines under cross-engine resume)."""
+    from bhr_tpu.camera import orbit_camera_position
+    from bhr_tpu.config import escape_radius, scene_escape_radius
+
+    cfg = SceneConfig(
+        pov=(6.0, 0.0, 0.5), r_max=10.0, orbit=True,
+        orbit_degrees=360.0, n_frames=7,
+    ).validated()
+    expected = scene_escape_radius(cfg)
+    for f in range(cfg.n_frames):
+        pos = orbit_camera_position(f, cfg.n_frames, cfg.orbit_degrees, cfg.pov)
+        assert abs(escape_radius(cfg.r_max, pos) - expected) < 1e-9
+    # Static-camera scenes keep the plain formula.
+    static = SceneConfig(pov=(6.0, 0.0, 0.5), r_max=10.0).validated()
+    assert scene_escape_radius(static) == escape_radius(10.0, (6.0, 0.0, 0.5))

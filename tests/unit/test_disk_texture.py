@@ -154,3 +154,27 @@ def test_compose_percentile_normalization():
     assert alpha.max() <= 1.0
     assert (alpha >= 0.999).mean() < 0.05
     assert (alpha >= 0.999).mean() > 0.001
+
+
+def test_rt_spike_count_scales_with_disk_area():
+    """Wide disks draw ~15-30 * disk_area * 0.8 RT fingers (reference
+    render.py:1517); the padded slot count must cover that upper bound
+    instead of silently capping at 48 (regression: ~10x undercount at
+    production radii)."""
+    import jax
+
+    from bhr_tpu.models.disk_texture import generate_rt_spikes
+
+    key = jax.random.PRNGKey(7)
+    wide_area = (15.0**2 - 2.0**2) / 10.0  # 22.1 -> 265..530 spikes
+    spikes, temp = generate_rt_spikes(key, 64, 256, wide_area)
+    spikes48, _ = generate_rt_spikes(key, 64, 256, wide_area, max_count=48)
+    # ~10x more fingers -> clearly more covered area (same key; different
+    # draw shapes, so compare coverage, not pixels; inner-disk overlap
+    # saturates coverage well below 10x — a silent cap would give 1.0x).
+    assert float(jnp.mean(spikes > 0.05)) > 1.3 * float(jnp.mean(spikes48 > 0.05))
+    assert bool(jnp.isfinite(spikes).all()) and bool(jnp.isfinite(temp).all())
+    # Narrow default scene stays small: padded bound tracks the area.
+    narrow_area = (3.5**2 - 2.0**2) / 10.0
+    s_narrow, _ = generate_rt_spikes(key, 64, 256, narrow_area)
+    assert float(jnp.mean(s_narrow > 0.05)) < float(jnp.mean(spikes > 0.05))

@@ -167,7 +167,7 @@ def test_quad_pack_matches_four_gather():
                          indexing="xy")
     dtex = np.stack([gx, gy, gx * gy, 0.5 + 0.5 * gx], -1).astype(np.float32)
     mips = build_mipmaps(jnp.asarray(dtex), levels=2)
-    qmips = pack_quad_mips(mips, 3)
+    qmips = pack_quad_mips(mips)
     hx = rng.uniform(-4, 4, 200).astype(np.float32)
     hy = rng.uniform(-4, 4, 200).astype(np.float32)
     a = np.asarray(sample_disk_quad(qmips[0][..., :16], jnp.asarray(hx), jnp.asarray(hy), 2.0, 4.0, 0.3))
@@ -232,3 +232,22 @@ def test_u8_quad_sampling_matches_f32():
     a = np.asarray(sample_disk_quad(qf, hx, hy, 2.0, 3.5, 0.0))
     b = np.asarray(sample_disk_quad(q8, hx, hy, 2.0, 3.5, 0.0))
     assert np.abs(a - b).max() < 5e-3
+
+
+def test_build_mipmaps_odd_dimensions():
+    """External --disk_texture images can have odd dims; the pyramid
+    must drop the trailing row/col instead of crashing (regression)."""
+    import numpy as np
+
+    from bhr_tpu.ops.sampling import build_mipmaps
+
+    tex = jnp.asarray(np.random.default_rng(0).random((511, 1023, 4)), jnp.float32)
+    mips = build_mipmaps(tex, levels=3)
+    assert mips.shape == (4, 511, 1023, 4)
+    assert bool(jnp.isfinite(mips).all())
+    # level 1 is the box filter of the even-cropped base
+    lvl1 = mips[1, :255, :511]
+    base = tex[:510, :1022]
+    ref = (base[0::2, 0::2] + base[1::2, 0::2]
+           + base[0::2, 1::2] + base[1::2, 1::2]) * 0.25
+    assert float(jnp.max(jnp.abs(lvl1 - ref))) < 1e-6

@@ -25,7 +25,7 @@ def _assets(rng):
     sky = rng.random((8, 16, 3)).astype(np.float32)
     tex = rng.random((8, 32, 4)).astype(np.float32)
     skybox_q = pack_quad(jnp.asarray(sky))
-    qmips = pack_quad_mips(build_mipmaps(jnp.asarray(tex), levels=2), 3)
+    qmips = pack_quad_mips(build_mipmaps(jnp.asarray(tex), levels=2))
     return skybox_q, qmips
 
 

@@ -29,7 +29,7 @@ def tiny_scene():
     ))
     tex = np.random.default_rng(1).random((16, 64, 4)).astype(np.float32)
     tex[..., 3] *= compute_edge_alpha(16)[:, None]
-    mips = pack_quad_mips(build_mipmaps(jnp.asarray(tex), levels=2), 3)
+    mips = pack_quad_mips(build_mipmaps(jnp.asarray(tex), levels=2))
     return config, skybox, mips
 
 

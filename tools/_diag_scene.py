@@ -62,7 +62,7 @@ def build_fhd_shade_inputs():
         )
     )
     qmips = jax.jit(
-        lambda t: quantize_packed(pack_quad_mips(build_mipmaps(t), 4),
+        lambda t: quantize_packed(pack_quad_mips(build_mipmaps(t)),
                                   tex_dtype)
     )(tex)
 
@@ -108,7 +108,7 @@ def fhd_shade_avals():
     )
     qmips = jax.eval_shape(
         lambda t: quantize_packed(
-            pack_quad_mips(build_mipmaps(t), 4), tex_dtype
+            pack_quad_mips(build_mipmaps(t)), tex_dtype
         ),
         jax.ShapeDtypeStruct((TEX_N_R, TEX_N_PHI, 4), jnp.float32),
     )

@@ -46,7 +46,7 @@ def main() -> int:
     from bhr_tpu.config import (
         SceneConfig,
         compute_disk_texture_resolution,
-        escape_radius,
+        scene_escape_radius,
     )
     from bhr_tpu.models.dynamic_disk import DynamicDiskSystem
     from bhr_tpu.models.skybox import generate_skybox
@@ -79,7 +79,7 @@ def main() -> int:
         mesh = make_frame_mesh(1, 1, devices=jax.devices()[:1])
         rend = build_sharded_video_renderer(
             mesh, cfg, n_r, n_phi,
-            r_escape=escape_radius(cfg.r_max, cfg.pov),
+            r_escape=scene_escape_radius(cfg),
             az_freq=dyn.az_freq, az_shear=dyn.az_shear, tex_dtype=tex_dtype,
         )
         cams = cameras_for_orbit(cfg, [0, 1], width, height)
