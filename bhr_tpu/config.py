@@ -140,6 +140,17 @@ class SceneConfig:
             raise ValueError(f"unknown resolution preset: {self.resolution}")
         return self
 
+    @property
+    def use_ray_differentials(self) -> bool:
+        """Whether frames trace the 4 extra ray-differential RK4 systems.
+
+        AA differentials feed the texture-model mip/LOD sampler only;
+        the v2 volume integrator has no LOD path, so tracing them there
+        would be pure waste (~2-3x the hot-loop cost, reference
+        docs/design.md:577) with zero image effect. ONE source for
+        every engine."""
+        return self.anti_alias != "disabled" and self.disk_model != "v2"
+
 
 def escape_radius(r_max: float, cam_pos) -> float:
     """Trace escape radius: ``max(r_max, 2 x camera distance)`` — the

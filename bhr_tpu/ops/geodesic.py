@@ -280,6 +280,12 @@ def trace_geodesics(
             )
 
             tf = t_frac[:, None]
+            # Within-step lerp of the differentials — a DELIBERATE
+            # deviation from the reference, which commits the full
+            # end-of-step value (its own t_frac lerp is a no-op because
+            # d_pos_dx is updated before the disk test, render.py:2947);
+            # see docs/PARITY.md deviation 3. Affects only the mip-LOD
+            # gradient at crossings, goldens are per-backend anyway.
             hit_dx = s["d_pos_dx"] + tf * (nd_pos_dx - s["d_pos_dx"])
             hit_dy = s["d_pos_dy"] + tf * (nd_pos_dy - s["d_pos_dy"])
             feat = jnp.concatenate(

@@ -52,10 +52,6 @@ BLOCK_COLS = 128
 CAM_PARAMS = 14
 
 
-def _dot3(ax, ay, az, bx, by, bz):
-    return ax * bx + ay * by + az * bz
-
-
 def _normalize3(x, y, z):
     inv = jax.lax.rsqrt(x * x + y * y + z * z + 1e-18)
     return x * inv, y * inv, z * inv
@@ -336,6 +332,9 @@ def build_ray_march_kernel(
 
                 (odpx, odpy, odpz) = s[2]
                 (odqx, odqy, odqz) = s[4]
+                # Within-step differential lerp: deliberate deviation
+                # from the reference's end-of-step commit — must stay
+                # in lockstep with ops/geodesic.py (PARITY.md dev. 3).
                 hdx = odpx + t_frac * (ndp_dx[0] - odpx)
                 hdy = odpy + t_frac * (ndp_dx[1] - odpy)
                 hdz = odpz + t_frac * (ndp_dx[2] - odpz)

@@ -119,7 +119,7 @@ def build_sharded_video_renderer(
     # render() honoring anti_alias (render.py:3874). When disabled,
     # only mip level 0 is ever sampled, so skip the pyramid build +
     # quad-pack entirely (~20 ms/frame at FHD texture sizes).
-    use_diff = cfg.anti_alias != "disabled"
+    use_diff = cfg.use_ray_differentials
     if tex_dtype is None:
         tex_dtype = production_tex_dtype()
 

@@ -452,16 +452,6 @@ class Renderer:
         self.disk_mips, self.disk_qmips = self._mip_fn(tex)
         self.num_mip_levels = int(self.disk_mips.shape[0])
 
-    def set_disk_mips(self, mips: jnp.ndarray) -> None:
-        """Install an externally built (device) mip pyramid directly."""
-        self.disk_mips = mips
-        self.disk_qmips = jax.jit(
-            lambda m: quantize_packed(
-                pack_quad_mips(m), self.tex_dtype
-            )
-        )(mips)
-        self.num_mip_levels = int(mips.shape[0])
-
     @property
     def disk_texture(self) -> Optional[jnp.ndarray]:
         return None if self.disk_mips is None else self.disk_mips[0]
@@ -589,7 +579,7 @@ class Renderer:
             q = self.r_escape_quantum
             r_escape = float(np.ceil(r_escape / q) * q)
         use_diff = (
-            self.config.anti_alias != "disabled" and not skip_differentials
+            self.config.use_ray_differentials and not skip_differentials
         )
         trace = self._trace(camera, r_escape, use_diff)
         t_offset = jnp.float32(frame * self.config.disk_rotation_speed)

@@ -111,3 +111,14 @@ def test_scene_escape_radius_matches_per_frame_orbit_camera():
     # Static-camera scenes keep the plain formula.
     static = SceneConfig(pov=(6.0, 0.0, 0.5), r_max=10.0).validated()
     assert scene_escape_radius(static) == escape_radius(10.0, (6.0, 0.0, 0.5))
+
+
+def test_v2_model_never_traces_ray_differentials():
+    """AA differentials feed the texture-model LOD sampler only; with
+    disk_model='v2' the flag must not trigger the 2-3x differential
+    trace (regression: silent no-op AA tripling hot-loop work)."""
+    v2 = SceneConfig(disk_model="v2", anti_alias="lod_radius").validated()
+    assert v2.use_ray_differentials is False
+    v1 = SceneConfig(anti_alias="lod_radius").validated()
+    assert v1.use_ray_differentials is True
+    assert SceneConfig().validated().use_ray_differentials is False

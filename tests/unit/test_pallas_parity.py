@@ -15,8 +15,14 @@ from bhr_tpu.ops import geodesic
 from bhr_tpu.ops.geodesic_pallas import camera_params, trace_geodesics_pallas
 
 
-@pytest.mark.parametrize("with_diff", [False, True])
-def test_pallas_matches_pure_jax(with_diff):
+@pytest.mark.parametrize(
+    "with_diff,exit_check_every",
+    # exit_check_every=8 is the PRODUCTION unroll (interpret defaults to
+    # 1): termination gating inside the unrolled block must be a no-op
+    # for results — overrun steps freeze state and step counts exactly.
+    [(False, 1), (True, 1), (False, 8), (True, 8)],
+)
+def test_pallas_matches_pure_jax(with_diff, exit_check_every):
     W, H = 128, 32
     cam = build_camera([6.0, 0.0, 0.5], 60.0, W, H)
     kw = dict(
@@ -25,7 +31,7 @@ def test_pallas_matches_pure_jax(with_diff):
     )
     res = trace_geodesics_pallas(
         jnp.asarray(camera_params(cam)), width=W, height=H,
-        interpret=True, **kw,
+        interpret=True, exit_check_every=exit_check_every, **kw,
     )
     dirs, ddx, ddy = geodesic.primary_rays(cam)
     ref = geodesic.trace_geodesics(
@@ -71,12 +77,15 @@ def test_pallas_padding_cropped():
     assert bool((res.captured | res.escaped).all())
 
 
-def test_step_counts_match_pure_jax():
+@pytest.mark.parametrize("exit_check_every", [1, 8])
+def test_step_counts_match_pure_jax(exit_check_every):
     """Per-ray RK4 step counts agree between the kernel and pure JAX.
 
     Counting semantics: a ray's count is the number of steps it was
     active for; frozen (terminated) rays stop counting even though the
-    unrolled exit-check blocks keep executing their lanes.
+    unrolled exit-check blocks keep executing their lanes (covered
+    here by the exit_check_every=8 production-unroll case, including
+    the max_iter gate on block overrun).
     """
     W, H = 128, 32
     cam = build_camera([6.0, 0.0, 0.5], 60.0, W, H)
@@ -84,7 +93,7 @@ def test_step_counts_match_pure_jax():
               r_outer=3.5, record_step_counts=True)
     res = trace_geodesics_pallas(
         jnp.asarray(camera_params(cam)), width=W, height=H,
-        interpret=True, **kw,
+        interpret=True, exit_check_every=exit_check_every, **kw,
     )
     dirs, _, _ = geodesic.primary_rays(cam)
     ref = geodesic.trace_geodesics(jnp.asarray(cam.pos), dirs, **kw)
