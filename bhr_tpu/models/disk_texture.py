@@ -35,7 +35,7 @@ from ..constants import (
     ENABLE_DISK_SPIRAL_ARMS,
 )
 from ..ops.noise import fbm_noise, periodic_pixel_noise, tileable_noise
-from ..ops.shading import blackbody_rgb
+from ..ops.shading import blackbody_rgb, keplerian_omega  # noqa: F401 — keplerian_omega re-exported
 from ..utils.io import compute_edge_alpha
 
 
@@ -61,11 +61,6 @@ def _polar_grids(n_r: int, n_phi: int):
     r_norm = jnp.linspace(0.0, 1.0, n_r)
     phi_g, r_g = jnp.meshgrid(phi, r_norm)
     return phi_g, r_g
-
-
-def keplerian_omega(r_vals: jnp.ndarray) -> jnp.ndarray:
-    """omega(r) = sqrt(0.5 / r^3) — disk rotation law used throughout."""
-    return jnp.sqrt(0.5 / (r_vals**3 + 1e-6))
 
 
 def _roll_rows_by(field: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
@@ -517,6 +512,59 @@ def generate_disturbance_mod(
 N_COMPONENTS = 13
 
 
+def density_from_comp(comp, edge, enable_rt: bool):
+    """Weighted density mix of the 13-component pack — THE density
+    contract (reference render.py:1951 / 3189). Single source shared by
+    the compose kernel and both stats paths (exact + histogram-approx):
+    stats must be computed for exactly the field that gets composed."""
+    rt_w = 0.20 if enable_rt else 0.0
+    return (
+        0.15 + 0.10 * comp[1] + 0.30 * comp[3] + 0.20 * comp[9]
+        + 0.30 * comp[5] + rt_w * comp[7]
+    ) * comp[12] * edge[:, None]
+
+
+def temp_struct_from_comp(comp):
+    """Structural-temperature sum of the 13-component pack (reference
+    render.py:3196) — shared like density_from_comp."""
+    return (comp[2] + comp[4] + comp[6] + comp[8] + comp[10]) * comp[12]
+
+
+def _field_stats(density, temp_struct):
+    """Exact percentile normalization stats from mixed fields:
+    (density P98, positive-struct P95, per-row [max, P70] of the scaled
+    struct field) — reference render.py:2361-2383."""
+    density_p98 = jnp.percentile(density, 98.0)
+    pos = temp_struct > 0
+    struct_scale = jnp.where(
+        jnp.any(pos),
+        jnp.nanpercentile(jnp.where(pos, temp_struct, jnp.nan), 95.0),
+        1.0,
+    )
+    ts_scaled = jnp.clip(temp_struct / (struct_scale + 1e-6) * 0.8, 0.0, 1.2)
+    row_stats = jnp.stack(
+        [jnp.max(ts_scaled, axis=1), jnp.quantile(ts_scaled, 0.7, axis=1)],
+        axis=1,
+    )
+    return density_p98, struct_scale, row_stats
+
+
+def _normalize_and_colorize(
+    temp_base, temp_struct, density, az_hotspot,
+    density_p98, struct_scale, row_stats, color_temp,
+):
+    """Normalization + colorize chain given precomputed stats — the
+    single implementation behind every compose path (reference GPU
+    kernel math, render.py:3189-3238)."""
+    density = jnp.clip(density / (density_p98 + 1e-6), 0.0, 1.0)
+    ts_scaled = jnp.clip(temp_struct / (struct_scale + 1e-6) * 0.8, 0.0, 1.2)
+    ceiling = jnp.maximum(row_stats[:, 1], 0.05)
+    tb = jnp.minimum(temp_base, ceiling[:, None])
+    tb = jnp.minimum(tb, row_stats[:, 0][:, None])
+    temperature = jnp.clip(jnp.maximum(tb, ts_scaled), 0.0, 1.0)
+    return _colorize(temperature, az_hotspot, density, color_temp)
+
+
 def compose_disk_texture(
     temp_base: jnp.ndarray,
     temp_struct: jnp.ndarray,
@@ -525,31 +573,18 @@ def compose_disk_texture(
     edge: jnp.ndarray,
     color_temp: float,
 ) -> jnp.ndarray:
-    """Final RGBA from temperature/density fields (percentiles on device).
+    """Final RGBA from pre-mixed temperature/density fields, stats
+    computed on the fly (percentiles on device).
 
     density is edge-softened then normalized by its P98; structural
     temperature scaled by the P95 of its positive values; the
     temperature floor is clamped per-row so structure stays dominant.
     """
     density = density * edge[:, None]
-    density = jnp.clip(density / (jnp.percentile(density, 98.0) + 1e-6), 0.0, 1.0)
-
-    pos = temp_struct > 0
-    struct_scale = jnp.where(
-        jnp.any(pos),
-        jnp.nanpercentile(jnp.where(pos, temp_struct, jnp.nan), 95.0),
-        1.0,
+    stats = _field_stats(density, temp_struct)
+    return _normalize_and_colorize(
+        temp_base, temp_struct, density, az_hotspot, *stats, color_temp
     )
-    ts_scaled = jnp.clip(temp_struct / (struct_scale + 1e-6) * 0.8, 0.0, 1.2)
-
-    struct_max = jnp.max(ts_scaled, axis=1)
-    struct_p70 = jnp.quantile(ts_scaled, 0.7, axis=1)
-    ceiling = jnp.maximum(struct_p70, 0.05)
-    tb = jnp.minimum(temp_base, ceiling[:, None])
-    tb = jnp.minimum(tb, struct_max[:, None])
-
-    temperature = jnp.clip(jnp.maximum(tb, ts_scaled), 0.0, 1.0)
-    return _colorize(temperature, az_hotspot, density, color_temp)
 
 
 def _colorize(temperature, az_hotspot, density, color_temp):
@@ -595,26 +630,9 @@ class ParametricDiskState:
 
 def _component_stats(comp, edge, enable_rt):
     """Normalization stats from the 13-component pack (t=0)."""
-    rt_w = 0.20 if enable_rt else 0.0
-    density = (
-        0.15 + 0.10 * comp[1] + 0.30 * comp[3] + 0.20 * comp[9]
-        + 0.30 * comp[5] + rt_w * comp[7]
-    ) * comp[12] * edge[:, None]
-    density_p98 = jnp.percentile(density, 98.0)
-
-    temp_struct = (comp[2] + comp[4] + comp[6] + comp[8] + comp[10]) * comp[12]
-    pos = temp_struct > 0
-    struct_scale = jnp.where(
-        jnp.any(pos),
-        jnp.nanpercentile(jnp.where(pos, temp_struct, jnp.nan), 95.0),
-        1.0,
+    return _field_stats(
+        density_from_comp(comp, edge, enable_rt), temp_struct_from_comp(comp)
     )
-    ts_scaled = jnp.clip(temp_struct / (struct_scale + 1e-6) * 0.8, 0.0, 1.2)
-    row_stats = jnp.stack(
-        [jnp.max(ts_scaled, axis=1), jnp.quantile(ts_scaled, 0.7, axis=1)],
-        axis=1,
-    )
-    return density_p98, struct_scale, row_stats
 
 
 def generate_component_fields(
@@ -707,7 +725,7 @@ def _compose_from_components(
     comp, omega_rows, edge, density_p98, struct_scale, row_stats,
     t_offset, enable_rt: bool, color_temp, skip_roll: bool = False,
 ) -> jnp.ndarray:
-    n_r, n_phi = comp.shape[1], comp.shape[2]
+    n_phi = comp.shape[2]
     if skip_roll:
         rolled = comp
     else:
@@ -718,24 +736,11 @@ def _compose_from_components(
         src = jnp.mod(cols + shift[:, None], n_phi)  # (n_r, n_phi)
         rolled = jnp.take_along_axis(comp, src[None], axis=2)
 
-    rt_w = 0.20 if enable_rt else 0.0
-    density = (
-        0.15 + 0.10 * rolled[1] + 0.30 * rolled[3] + 0.20 * rolled[9]
-        + 0.30 * rolled[5] + rt_w * rolled[7]
-    ) * rolled[12] * edge[:, None]
-    density = jnp.clip(density / (density_p98 + 1e-6), 0.0, 1.0)
-
-    temp_struct = (
-        rolled[2] + rolled[4] + rolled[6] + rolled[8] + rolled[10]
-    ) * rolled[12]
-    ts_scaled = jnp.clip(temp_struct / (struct_scale + 1e-6) * 0.8, 0.0, 1.2)
-
-    ceiling = jnp.maximum(row_stats[:, 1], 0.05)
-    tb = jnp.minimum(rolled[0], ceiling[:, None])
-    tb = jnp.minimum(tb, row_stats[:, 0][:, None])
-    temperature = jnp.clip(jnp.maximum(tb, ts_scaled), 0.0, 1.0)
-
-    return _colorize(temperature, rolled[11], density, color_temp)
+    return _normalize_and_colorize(
+        rolled[0], temp_struct_from_comp(rolled),
+        density_from_comp(rolled, edge, enable_rt), rolled[11],
+        density_p98, struct_scale, row_stats, color_temp,
+    )
 
 
 def compose_from_state(state: ParametricDiskState, t_offset: float = 0.0,

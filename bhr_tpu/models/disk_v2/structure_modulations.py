@@ -38,18 +38,34 @@ from .physical_fields import angular_velocity_field
 # lattice makes the normalization a *compile-time constant* — per-ray
 # modulation no longer depends on which other rays share the batch
 # (window pass == full pass; no frame-to-frame normalization flicker).
-# 512 phi x 128 log-r samples resolve the narrowest default hotspot
-# core (sigma ~0.1 rad -> ~8 samples/sigma).
+# 512 phi x 128 log-r samples resolve every shear component (m <= 10,
+# n <= 5.5 by construction -> >= 50 samples/period). Hotspot sigmas are
+# user-set and can be arbitrarily narrow, so the hotspot max is
+# additionally probed at sigma-scaled offsets around every spot center
+# (see hotspot_modulation) — the lattice alone would miss sub-lattice
+# Gaussian cores and the resulting over-normalization would saturate
+# the clip to [-1, 1] into hard-edged binary blobs.
 _LATTICE_PHI = 512
 _LATTICE_LOGR = 128
 
+# Probe offsets in units of sigma; the extrema of a difference-of-
+# Gaussians sum lie at/near the cores and halo rings these cover.
+_PROBE_OFFSETS = np.array([-3.0, -2.0, -1.5, -1.0, -0.5, 0.0,
+                           0.5, 1.0, 1.5, 2.0, 3.0])
 
-def _lattice_max_abs(raw_fn, log_span: float) -> jnp.ndarray:
-    """max |raw_fn(phi, log_r)| over the fixed (phi, log r) lattice."""
+
+def _lattice_max_abs(
+    raw_fn, log_span: float, probe_phi=None, probe_logr=None
+) -> jnp.ndarray:
+    """max |raw_fn(phi, log_r)| over the fixed (phi, log r) lattice,
+    optionally augmented with exact probe points (both compile-time
+    constants, so the normalization stays evaluation-set independent)."""
     phi_l = jnp.linspace(0.0, 2.0 * jnp.pi, _LATTICE_PHI, endpoint=False)
     logr_l = jnp.linspace(0.0, max(log_span, 1e-6), _LATTICE_LOGR)
-    raw = raw_fn(phi_l[None, :], logr_l[:, None])
-    return jnp.maximum(jnp.max(jnp.abs(raw)), 1e-15)
+    m = jnp.max(jnp.abs(raw_fn(phi_l[None, :], logr_l[:, None])))
+    if probe_phi is not None:
+        m = jnp.maximum(m, jnp.max(jnp.abs(raw_fn(probe_phi, probe_logr))))
+    return jnp.maximum(m, 1e-15)
 
 
 def _wrapped_delta_phi(phi: jnp.ndarray, center: float) -> jnp.ndarray:
@@ -172,9 +188,23 @@ def hotspot_modulation(
         return raw
 
     # spots is never empty: DiskV2StructureParams rejects
-    # hotspot_count <= 0 in __post_init__.
+    # hotspot_count <= 0 in __post_init__. Probe a sigma-scaled grid
+    # around each center so narrow (sub-lattice) cores still normalize
+    # by their true peak instead of a lattice tail sample.
+    pp, pl = [], []
+    for center_phi, center_logr, _ in spots:
+        gp, gl = np.meshgrid(
+            center_phi + _PROBE_OFFSETS * sp.hotspot_phi_sigma,
+            center_logr + _PROBE_OFFSETS * sp.hotspot_logr_sigma,
+        )
+        pp.append(gp.ravel())
+        pl.append(gl.ravel())
+    probe_phi = jnp.asarray(np.concatenate(pp))
+    probe_logr = jnp.asarray(np.concatenate(pl))
     signed = jnp.clip(
-        raw_fn(phi, log_r) / _lattice_max_abs(raw_fn, log_span), -1.0, 1.0
+        raw_fn(phi, log_r)
+        / _lattice_max_abs(raw_fn, log_span, probe_phi, probe_logr),
+        -1.0, 1.0,
     )
     window = disk_radial_weight(r, params)
     return jnp.where(window > 0.0, 1.0 + sp.hotspot_strength * signed, 1.0)

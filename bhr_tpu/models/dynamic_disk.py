@@ -97,15 +97,12 @@ def _recompute_stats(comp, edge, enable_rt: bool = True):
     the dynamic-texture step on TPU.
     """
     from ..ops.stats import approx_quantile, approx_quantile_rows
+    from .disk_texture import density_from_comp, temp_struct_from_comp
 
-    rt_w = 0.20 if enable_rt else 0.0
-    density = (
-        0.15 + 0.10 * comp[1] + 0.30 * comp[3] + 0.20 * comp[9]
-        + 0.30 * comp[5] + rt_w * comp[7]
-    ) * comp[12] * edge[:, None]
+    density = density_from_comp(comp, edge, enable_rt)
     density_p98 = jnp.maximum(approx_quantile(density, 0.98), 0.01)
 
-    temp_struct = (comp[2] + comp[4] + comp[6] + comp[8] + comp[10]) * comp[12]
+    temp_struct = temp_struct_from_comp(comp)
     pos = temp_struct > 0
     struct_scale = jnp.where(
         jnp.any(pos),
@@ -237,6 +234,15 @@ class DynamicDiskSystem:
         )
         self.comp = comp
 
+        # Persisted stats always come from the FULL comp field, even while
+        # a component is soloed (reference recomputes from the live comp
+        # field regardless of the solo view, render.py:3655-3712) — solo
+        # stats below are display-local and never stored, so un-soloing
+        # can't resume with stale normalization.
+        if recompute_stats:
+            self.density_p98, self.struct_scale, self.row_stats = (
+                _recompute_stats(comp, self.edge, self.enable_rt)
+            )
         if solo_idx >= 0:
             comp = self._solo_comp(comp, solo_idx)
             p98, scale, row_stats = _recompute_stats(comp, self.edge, self.enable_rt)
@@ -245,9 +251,6 @@ class DynamicDiskSystem:
                 0.0, self.enable_rt, jnp.float32(self.color_temp),
             )
         elif recompute_stats:
-            self.density_p98, self.struct_scale, self.row_stats = (
-                _recompute_stats(comp, self.edge, self.enable_rt)
-            )
             tex = compose_from_components(
                 comp, self.omega_rows, self.edge, self.density_p98,
                 self.struct_scale, self.row_stats, 0.0,

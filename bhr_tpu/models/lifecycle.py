@@ -36,6 +36,7 @@ from ..constants import (
     FILAMENT_SHEAR_ALPHA,
     FILAMENT_TAU_COOL,
 )
+from ..ops.shading import keplerian_omega
 
 # Static padding capacities for the device evaluation (target counts are
 # 200/30/15; generous headroom for spawn-debt overshoot).
@@ -249,7 +250,9 @@ def make_factories(n_r: int, n_phi: int, r_inner: float, r_outer: float,
     """Standard factory set: 200 filaments, 30 hotspots, 15 RT spikes."""
     r_norm = np.linspace(0.0, 1.0, n_r)
     r_vals = r_inner + (r_outer - r_inner) * r_norm
-    omega_rows = np.sqrt(0.5 / (r_vals**3 + 1e-6)).astype(np.float32)
+    omega_rows = np.asarray(
+        keplerian_omega(jnp.asarray(r_vals, jnp.float32))
+    ).astype(np.float32)
     return {
         "filament": EntityFactory(
             spawn_filament, 200, (15.0, 60.0), r_norm, omega_rows, seed + 100

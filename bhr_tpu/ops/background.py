@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .noise import fbm_3d, simplex_noise_3d
+from .shading import keplerian_omega
 
 
 @functools.partial(
@@ -61,7 +62,7 @@ def generate_background_components(
     n_r, n_phi = gr, gp  # noise evaluates on the coarse grid below
 
     r_phys = r_inner + (r_outer - r_inner) * r
-    omega = jnp.sqrt(0.5 / (r_phys**3 + 1e-6))
+    omega = keplerian_omega(r_phys)
     phi_rot = phi + omega * t
     cx = jnp.cos(phi_rot)
     cy = jnp.sin(phi_rot)

@@ -27,16 +27,19 @@ from ..constants import (
 
 
 def pow_const(x: jnp.ndarray, p: float) -> jnp.ndarray:
-    """x**p with square-and-multiply for small integer exponents.
+    """x**p with square-and-multiply for small integer and half-integer
+    exponents (p = k/2, e.g. 1.5 -> x*sqrt(x)).
 
     XLA's algebraic simplifier only strength-reduces a handful of
     exponents (0.5, 1, 2); anything else lowers to exp(p*log(x)) —
-    tens of VPU ops where the integer case needs a few multiplies.
-    Valid for x >= 0 (all call sites are alphas/profiles in [0, 1]).
+    tens of VPU ops where the integer case needs a few multiplies and
+    the half-integer case one extra sqrt.
+    Valid for x >= 0 (all call sites are alphas/profiles/g-factors >= 0).
     """
-    if float(p).is_integer() and 1.0 <= p <= 16.0:
-        n = int(p)
-        acc = None
+    if float(2.0 * p).is_integer() and 0.5 <= p <= 16.0:
+        n = int(2.0 * p)
+        acc = jnp.sqrt(x) if n & 1 else None
+        n >>= 1
         base = x
         while n:
             if n & 1:
@@ -46,6 +49,14 @@ def pow_const(x: jnp.ndarray, p: float) -> jnp.ndarray:
                 base = base * base
         return acc
     return jnp.power(x, p)
+
+
+def keplerian_omega(r_vals: jnp.ndarray) -> jnp.ndarray:
+    """omega(r) = sqrt(0.5 / r^3) — THE disk rotation law (reference
+    render.py:2451, 930). Single source: texture roll, entity advection,
+    background noise rotation, and relativistic beaming must co-rotate,
+    so every layer imports this one definition."""
+    return jnp.sqrt(0.5 / (r_vals**3 + 1e-6))
 
 
 def blackbody_rgb(temp_k: jnp.ndarray) -> jnp.ndarray:
@@ -114,7 +125,7 @@ def apply_g_factor(
     r_em = jnp.linalg.norm(hit_pos, axis=-1)
     r_safe = jnp.maximum(r_em, rs + 1e-3)
 
-    omega = jnp.sqrt(0.5 / (r_safe**3 + 1e-6))
+    omega = keplerian_omega(r_safe)
     lorentz = jnp.sqrt(jnp.maximum(1.0 - rs / r_safe, 1e-6))
     beta = jnp.minimum(r_safe * omega / jnp.maximum(lorentz, 1e-6), 0.99)
     gamma = 1.0 / jnp.sqrt(jnp.maximum(1.0 - beta * beta, 1e-6))
@@ -140,9 +151,9 @@ def apply_g_factor(
     g_grav = grav_num / grav_den
 
     g = jnp.minimum(g_doppler * g_grav, G_FACTOR_CAP)
-    # g^1.5 == g * sqrt(g) (g >= 0): one sqrt instead of exp(1.5*log(g)).
-    assert G_LUMINOSITY_POWER == 1.5
-    intensity = g * jnp.sqrt(jnp.maximum(g, 0.0))
+    # pow_const strength-reduces the default 1.5 to g*sqrt(g) and stays
+    # correct if G_LUMINOSITY_POWER is ever retuned.
+    intensity = pow_const(jnp.maximum(g, 0.0), G_LUMINOSITY_POWER)
     brightness = G_BRIGHTNESS_GAIN * intensity / (1.0 + intensity / G_FACTOR_CAP)
 
     radial_span = max(r_outer - r_inner, 1e-3)

@@ -303,3 +303,36 @@ def test_pipeline_v2_seed_reaches_structure():
     assert not np.allclose(imgs[0], imgs[1]), (
         "config.seed does not reach the V2 structure modulation"
     )
+
+
+def test_hotspot_narrow_sigma_not_saturated():
+    """Sub-lattice hotspot sigmas still normalize by the true peak:
+    the modulation falls off smoothly from a spot center instead of
+    clipping to a hard-edged plateau at 1 + strength (regression:
+    the fixed 512x128 lattice missed narrow Gaussian cores, so
+    raw/max overshot and saturated the clip)."""
+    sp = DiskV2StructureParams(
+        hotspot_phi_sigma=0.004, hotspot_logr_sigma=0.003
+    )
+    params = DiskV2Params()
+    seed = 11
+    # Replicate the spot-center draw (documented rng contract).
+    rng = np.random.default_rng(seed)
+    log_span = float(np.log(params.r_out / params.r_in))
+    center_phi = float(rng.uniform(0.0, 2.0 * np.pi))
+    center_logr = float(
+        (rng.uniform(0.0, 1.0) ** sp.hotspot_inner_bias) * log_span
+    )
+    r0 = params.r_in * float(np.exp(center_logr))
+
+    offs = np.array([0.0, 0.25, 0.5, 1.0]) * sp.hotspot_phi_sigma
+    vals = np.asarray(
+        hotspot_modulation(
+            jnp.full(offs.shape, r0), jnp.asarray(center_phi + offs),
+            params, sp, seed=seed,
+        )
+    )
+    # Peak bounded by the normalization, smooth monotone falloff.
+    assert vals[0] <= 1.0 + sp.hotspot_strength + 1e-6
+    assert np.all(np.diff(vals) < 0), vals
+    assert vals[0] - vals[1] > 5e-3 * sp.hotspot_strength, vals

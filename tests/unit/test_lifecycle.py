@@ -208,3 +208,26 @@ def test_recompute_stats_rt_gating_matches_compose():
     # on: density = 0.15 + 0.20*rt = 0.35; off: the 0.15 base only.
     assert abs(float(p98_on) - 0.35) < 0.02, float(p98_on)
     assert abs(float(p98_off) - 0.15) < 0.02, float(p98_off)
+
+
+def test_solo_persists_full_field_stats():
+    """A stats recompute that lands while a component is soloed must
+    persist stats from the FULL comp field (regression: the solo branch
+    used to drop the recompute, leaving stale normalization after
+    un-soloing; the reference recomputes from the live comp field
+    regardless of the solo view, render.py:3655-3712)."""
+    a = DynamicDiskSystem(32, 64, 2.0, 3.5, seed=3)
+    b = DynamicDiskSystem(32, 64, 2.0, 3.5, seed=3)
+    init_p98 = float(a.density_p98)
+    a.advance(0.5, 0.5, recompute_stats=True)
+    b.advance(0.5, 0.5, recompute_stats=True, solo_idx=3)
+    assert float(a.density_p98) != init_p98
+    np.testing.assert_allclose(
+        np.asarray(a.density_p98), np.asarray(b.density_p98), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.struct_scale), np.asarray(b.struct_scale), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.row_stats), np.asarray(b.row_stats), rtol=1e-6
+    )

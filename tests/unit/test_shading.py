@@ -99,3 +99,18 @@ def test_wien_shift_receding_side_redder():
     approach_rb = out[0, 0] / max(out[0, 2], 1e-6)
     recede_rb = out[1, 0] / max(out[1, 2], 1e-6)
     assert recede_rb > approach_rb * 1.05, (recede_rb, approach_rb)
+
+
+def test_pow_const_matches_power():
+    """Strength-reduced integer/half-integer exponents match jnp.power
+    (regression: g-factor luminosity must stay correct if
+    G_LUMINOSITY_POWER is retuned)."""
+    from bhr_tpu.ops.shading import pow_const
+
+    x = jnp.asarray(np.linspace(0.0, 4.0, 33), jnp.float32)
+    for p in (0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 7.0, 16.0, 1.2):
+        np.testing.assert_allclose(
+            np.asarray(pow_const(x, p)),
+            np.asarray(x, dtype=np.float64) ** p,
+            rtol=3e-6, atol=1e-6, err_msg=f"p={p}",
+        )
