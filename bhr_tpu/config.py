@@ -14,6 +14,7 @@ from .constants import (
     DISK_GENERATION_SCALE_CHOICES,
     R_DISK_INNER_DEFAULT,
     R_DISK_OUTER_DEFAULT,
+    RS,
 )
 
 RESOLUTIONS = {
@@ -92,6 +93,15 @@ class SceneConfig:
         # (0, 180) — a typo like --fov 190 must not render at 10).
         if not (0.0 < self.fov < 180.0):
             raise ValueError(f"FOV must be in (0, 180), got {self.fov}")
+        # The camera basis divides by |pov| and no light escapes from
+        # inside the horizon — pov at/inside r=RS would render NaNs or
+        # garbage instead of failing fast like the other typo guards.
+        pov_dist = math.sqrt(sum(float(c) ** 2 for c in self.pov))
+        if not math.isfinite(pov_dist) or pov_dist <= RS:
+            raise ValueError(
+                f"camera |pov| must be finite and outside the event "
+                f"horizon r={RS}, got |{tuple(self.pov)}| = {pov_dist:.3g}"
+            )
         if (self.width is None) != (self.height is None):
             raise ValueError(
                 "width and height must be overridden together "

@@ -54,12 +54,18 @@ def run_interactive(config: SceneConfig) -> None:
         run_headless_preview(config)
         return
     if os.environ.get("DISPLAY") or env_backend:
+        # Only backend/window creation falls back to the headless
+        # preview; an error raised later from the render loop itself
+        # must propagate with its traceback, not trigger a minutes-long
+        # preview render that masks it.
         try:
-            _run_matplotlib(config)
-            return
+            window = _open_window(config)
         except Exception as exc:  # no usable backend
             print(f"Interactive window unavailable ({exc}); "
                   "falling back to headless preview")
+        else:
+            _run_matplotlib(config, window)
+            return
     run_headless_preview(config)
 
 
@@ -91,13 +97,21 @@ def run_headless_preview(config: SceneConfig, n_frames: int = 24,
     print(f"Headless preview: {n_frames} frames in {out_dir}/")
 
 
-def _run_matplotlib(config: SceneConfig) -> None:
-    """Matplotlib interactive loop with reference-equivalent controls."""
+def _open_window(config: SceneConfig):
+    """Select a GUI backend and create the window — the only part whose
+    failure should fall back to the headless preview."""
     import matplotlib
 
     matplotlib.use(os.environ.get("MPLBACKEND", "TkAgg"))
     import matplotlib.pyplot as plt
 
+    fig, ax = plt.subplots(figsize=(10, 6))
+    return plt, fig, ax
+
+
+def _run_matplotlib(config: SceneConfig, window) -> None:
+    """Matplotlib interactive loop with reference-equivalent controls."""
+    plt, fig, ax = window
     renderer, dynamic = _build(config)
     cam = np.asarray(config.pov, dtype=np.float64)
     state = {
@@ -105,7 +119,9 @@ def _run_matplotlib(config: SceneConfig) -> None:
         "theta": float(np.arccos(np.clip(cam[2] / np.linalg.norm(cam), -1, 1))),
         "phi": float(np.arctan2(cam[1], cam[0])),
         "fov": config.fov,
-        "diff": False,
+        # 'd' toggles the differential+mip-LOD path live (inert for V2,
+        # which has no LOD path); start from the launch config.
+        "diff": config.use_ray_differentials,
         "bloom": True,
         "flare": False,
         "solo": -1,
@@ -113,7 +129,6 @@ def _run_matplotlib(config: SceneConfig) -> None:
         "drag": None,
     }
 
-    fig, ax = plt.subplots(figsize=(10, 6))
     ax.axis("off")
     im = ax.imshow(np.zeros((*config.image_size[::-1], 3)))
     hud = ax.text(0.01, 0.97, "", transform=ax.transAxes, color="w",
@@ -202,6 +217,7 @@ def _run_matplotlib(config: SceneConfig) -> None:
         img = renderer.render(
             cam_pos(), state["fov"], frame=render_frame,
             skip_differentials=not state["diff"],
+            force_differentials=state["diff"],
             skip_bloom=not state["bloom"],
             lens_flare=state["flare"],
         )
@@ -209,8 +225,10 @@ def _run_matplotlib(config: SceneConfig) -> None:
         fps = 0.9 * fps + 0.1 * (1.0 / max(real_dt, 1e-3))
         solo_txt = (f" SOLO:{_SOLO_NAMES.get(state['solo'], state['solo'])}"
                     if state["solo"] >= 0 else "")
+        d_txt = ("n/a" if config.disk_model == "v2"
+                 else ("ON" if state["diff"] else "off"))
         hud.set_text(
-            f"{fps:.0f} FPS | D:{'ON' if state['diff'] else 'off'} "
+            f"{fps:.0f} FPS | D:{d_txt} "
             f"B:{'ON' if state['bloom'] else 'off'} "
             f"L:{'ON' if state['flare'] else 'off'} | "
             f"E:{dynamic.entity_count if dynamic is not None else 0}"

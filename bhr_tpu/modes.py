@@ -18,20 +18,27 @@ from typing import Dict, Optional
 import numpy as np
 
 from .camera import orbit_camera_position
-from .config import SceneConfig, compute_disk_texture_resolution
+from .config import (
+    SceneConfig,
+    compute_disk_texture_resolution,
+    scene_escape_radius,
+)
 from .models.dynamic_disk import DynamicDiskSystem
 from .models.skybox import load_or_generate_skybox
 from .pipeline import Renderer
-from .utils.io import AsyncPNGWriter, load_disk_texture
+from .utils.io import AsyncPNGWriter, load_disk_texture, write_json_atomic
 
 
 def _make_renderer(config: SceneConfig,
-                   r_escape_quantum: float = 0.0) -> tuple:
+                   r_escape_quantum: float = 0.0,
+                   r_escape_override: Optional[float] = None) -> tuple:
     """Build renderer + (optional) dynamic disk system for a config.
 
     Single construction path for every mode (image/video/interactive);
     ``r_escape_quantum`` is forwarded to :class:`Renderer` (interactive
-    zoom uses it to bound recompiles)."""
+    zoom uses it to bound recompiles); ``r_escape_override`` pins the
+    trace's escape radius (orbit video passes the scene constant so the
+    per-frame value can't drift by ulps and recompile mid-video)."""
     width, height = config.image_size
     skybox, _, _ = load_or_generate_skybox(
         config.texture, 2048, 1024, config.n_stars, seed=config.skybox_seed
@@ -42,9 +49,17 @@ def _make_renderer(config: SceneConfig,
         # V2 shades by volume integration — no disk texture needed
         # (config.validated() rejects v2 + disk_texture).
         renderer = Renderer(config, skybox, None,
-                            r_escape_quantum=r_escape_quantum)
+                            r_escape_quantum=r_escape_quantum,
+                            r_escape_override=r_escape_override)
         return renderer, None
     disk_tex = load_disk_texture(config.disk_texture)
+    if config.disk_texture is not None and disk_tex is None:
+        # Fail loudly: silently falling back to the procedural lifecycle
+        # texture would render a completely different scene after a
+        # path typo.
+        raise FileNotFoundError(
+            f"--disk_texture not found or unreadable: {config.disk_texture}"
+        )
     if disk_tex is None:
         n_phi, n_r = compute_disk_texture_resolution(
             width, height, config.pov, config.fov,
@@ -57,7 +72,8 @@ def _make_renderer(config: SceneConfig,
         disk_tex = np.zeros((n_r, n_phi, 4), np.float32)
 
     renderer = Renderer(config, skybox, disk_tex,
-                        r_escape_quantum=r_escape_quantum)
+                        r_escape_quantum=r_escape_quantum,
+                        r_escape_override=r_escape_override)
     return renderer, dynamic
 
 
@@ -123,8 +139,15 @@ def load_video_progress(config: SceneConfig, temp_dir: str,
     cross_engine = False
     if (config.resume and os.path.isdir(temp_dir)
             and os.path.isfile(progress_file)):
-        with open(progress_file) as f:
-            saved = json.load(f)
+        try:
+            with open(progress_file) as f:
+                saved = json.load(f)
+        except (json.JSONDecodeError, OSError) as exc:
+            # Writes are atomic (write_json_atomic), so this only
+            # happens for files from pre-atomic runs or external
+            # corruption — same remedy as a param mismatch: start over.
+            print(f"progress.json unreadable ({exc}); starting over")
+            saved = {}
         saved_params = dict(saved.get("params", {}))
         cross_engine = bool(saved_params.pop("sharded", False)) != bool(
             params.get("sharded", False)
@@ -202,7 +225,13 @@ def render_video(config: SceneConfig,
     completed, _ = load_video_progress(config, temp_dir, progress_file, params)
 
     if renderer is None:
-        renderer, dynamic = _make_renderer(config)
+        # Pin the trace escape radius to the scene constant: recomputing
+        # it per frame from the orbit camera varies by ulps across
+        # frames, and r_escape is a static arg of the jitted trace —
+        # each distinct value would recompile the whole program.
+        renderer, dynamic = _make_renderer(
+            config, r_escape_override=scene_escape_radius(config)
+        )
     dt = config.disk_rotation_speed
 
     # Fast-replay the lifecycle to the resume point (host bookkeeping +
@@ -256,8 +285,10 @@ def render_video(config: SceneConfig,
             # before progress.json records it as completed (a crash in
             # between would otherwise lose it permanently under resume).
             writer.drain()
-            with open(progress_file, "w") as f:
-                json.dump({"params": params, "completed": sorted(completed)}, f)
+            write_json_atomic(
+                progress_file,
+                {"params": params, "completed": sorted(completed)},
+            )
 
         if rendered % 100 == 0:
             eta = (time.time() - total_t0) / rendered * (
@@ -267,8 +298,9 @@ def render_video(config: SceneConfig,
                   f"done {len(completed)} ETA {eta / 60:.0f}min")
 
     writer.close()
-    with open(progress_file, "w") as f:
-        json.dump({"params": params, "completed": sorted(completed)}, f)
+    write_json_atomic(
+        progress_file, {"params": params, "completed": sorted(completed)}
+    )
 
     if len(completed) < config.n_frames:
         print(f"Only {len(completed)}/{config.n_frames} frames done. "

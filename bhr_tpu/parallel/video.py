@@ -32,7 +32,6 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..camera import build_camera, orbit_camera_position
 from ..config import (
     SceneConfig,
     compute_disk_texture_resolution,
@@ -64,7 +63,7 @@ from ..ops.sampling import (
     quantize_packed,
 )
 from ..pipeline import shade_frame
-from .frames import pack_cameras
+from .frames import cameras_for_orbit, pack_cameras
 
 
 def pack_frame_params(
@@ -240,15 +239,10 @@ def render_video_frames_sharded(
 ) -> Tuple[np.ndarray, object]:
     """Render one batch of frames (len divisible by the frames axis)."""
     width, height = config.image_size
-    cams = []
-    for f in frame_indices:
-        if config.orbit:
-            pos = orbit_camera_position(
-                int(f), config.n_frames, config.orbit_degrees, config.pov
-            )
-        else:
-            pos = config.pov
-        cams.append(build_camera(pos, config.fov, width, height))
+    # One camera-placement implementation for every engine: a drift
+    # between this and the sequential path would break the cross-engine
+    # frame identity the resume protocol depends on.
+    cams = cameras_for_orbit(config, frame_indices, width, height)
     cam_pack = jnp.asarray(pack_cameras(cams))
     t_arr = jnp.asarray(
         [f * config.disk_rotation_speed for f in frame_indices], jnp.float32
@@ -278,7 +272,6 @@ def render_video_sharded(config: SceneConfig) -> None:
     updated after each completed batch, so interrupting loses at most
     one batch.
     """
-    import json
     import os
     import time
 
@@ -289,7 +282,7 @@ def render_video_sharded(config: SceneConfig) -> None:
         video_temp_paths,
     )
     from ..ops.sampling import pack_quad
-    from ..utils.io import AsyncPNGWriter
+    from ..utils.io import AsyncPNGWriter, write_json_atomic
     from .mesh import make_frame_mesh
 
     width, height = config.image_size
@@ -357,8 +350,9 @@ def render_video_sharded(config: SceneConfig) -> None:
         # crash between the two would otherwise lose frames permanently
         # under resume (progress says done, no PNG on disk).
         writer.drain()
-        with open(progress_file, "w") as fh:
-            json.dump({"params": params, "completed": sorted(completed)}, fh)
+        write_json_atomic(
+            progress_file, {"params": params, "completed": sorted(completed)}
+        )
         if (b + 1) % 10 == 0 or b == n_batches - 1:
             done = len(completed)
             # Rate over THIS session's frames only — `completed` also

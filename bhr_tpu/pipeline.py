@@ -400,6 +400,7 @@ class Renderer:
         mip_levels: int = 4,
         use_pallas: Optional[bool] = None,
         r_escape_quantum: float = 0.0,
+        r_escape_override: Optional[float] = None,
     ):
         self.config = config
         # r_escape is a static arg of the trace program, so every new
@@ -408,8 +409,14 @@ class Renderer:
         # r_escape UP to that grid, bounding recompiles (rays merely
         # escape a little later — exactness is per-config, unchanged
         # within a quantum bucket). 0.0 keeps the exact value
-        # (production/golden paths).
+        # (production/golden paths). r_escape_override pins the value
+        # outright: orbit video passes scene_escape_radius(config) so
+        # per-frame float rounding can't produce several ulp-distinct
+        # values (= several full recompiles) over one video.
         self.r_escape_quantum = float(r_escape_quantum)
+        self.r_escape_override = (
+            None if r_escape_override is None else float(r_escape_override)
+        )
         self.width, self.height = config.image_size
         self.skybox = jnp.asarray(skybox, dtype=jnp.float32)
         # Textures are stored quad-packed in the production storage
@@ -572,15 +579,23 @@ class Renderer:
         )
 
     def _run_frame(self, cam_pos, fov, frame, skip_differentials, skip_bloom,
-                   use_flare):
+                   use_flare, force_differentials=False):
         camera = build_camera(cam_pos, fov, self.width, self.height)
-        r_escape = escape_radius(self.config.r_max, cam_pos)
-        if self.r_escape_quantum > 0.0:
-            q = self.r_escape_quantum
-            r_escape = float(np.ceil(r_escape / q) * q)
+        if self.r_escape_override is not None:
+            r_escape = self.r_escape_override
+        else:
+            r_escape = escape_radius(self.config.r_max, cam_pos)
+            if self.r_escape_quantum > 0.0:
+                q = self.r_escape_quantum
+                r_escape = float(np.ceil(r_escape / q) * q)
+        # force_differentials: the interactive 'd' toggle enables the
+        # differential+mip-LOD path even when the session launched with
+        # anti_alias=disabled (the reference toggles a runtime kernel
+        # flag, render.py:4242); inert for V2, which has no LOD path.
         use_diff = (
-            self.config.use_ray_differentials and not skip_differentials
-        )
+            self.config.use_ray_differentials
+            or (force_differentials and self.config.disk_model != "v2")
+        ) and not skip_differentials
         trace = self._trace(camera, r_escape, use_diff)
         t_offset = jnp.float32(frame * self.config.disk_rotation_speed)
         mips = self.disk_qmips
@@ -612,13 +627,15 @@ class Renderer:
         skip_differentials: bool = False,
         skip_bloom: bool = False,
         lens_flare: Optional[bool] = None,
+        force_differentials: bool = False,
     ) -> jnp.ndarray:
         """Render a full frame, returned on device (H, W, 3)."""
         use_flare = (
             self.config.lens_flare if lens_flare is None else lens_flare
         )
         final, _, _ = self._run_frame(
-            cam_pos, fov, frame, skip_differentials, skip_bloom, use_flare
+            cam_pos, fov, frame, skip_differentials, skip_bloom, use_flare,
+            force_differentials,
         )
         return final
 
@@ -630,13 +647,14 @@ class Renderer:
         skip_differentials: bool = False,
         skip_bloom: bool = False,
         lens_flare: Optional[bool] = None,
+        force_differentials: bool = False,
     ) -> np.ndarray:
         """Render a full frame -> (H, W, 3) float32 numpy in [0, 1]."""
         return np.asarray(
             jax.device_get(
                 self.render_device(
                     cam_pos, fov, frame, skip_differentials, skip_bloom,
-                    lens_flare,
+                    lens_flare, force_differentials,
                 )
             )
         )

@@ -42,6 +42,20 @@ def load_disk_texture(path: Optional[str]) -> Optional[np.ndarray]:
     return None
 
 
+def write_json_atomic(path: str, obj) -> None:
+    """Write JSON via temp file + os.replace so a kill mid-write can
+    never leave truncated JSON (the video resume protocol reads this
+    back; a corrupt progress.json must not be able to exist)."""
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def save_image(image: np.ndarray, path: str) -> None:
     """Save an (H, W, 3) image as PNG (float in [0, 1] or uint8)."""
     from PIL import Image

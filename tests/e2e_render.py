@@ -197,8 +197,11 @@ def main() -> int:
     ap.add_argument("--aa", action="store_true",
                     help="alias for --scene aa")
     args = ap.parse_args()
-    scene = "aa" if args.aa else args.scene
-    return generate(scene) if args.generate else verify(scene)
+    # Pass the alias through so _scene_name can reject conflicting
+    # --scene X --aa combinations instead of silently validating "aa".
+    if args.generate:
+        return generate(args.scene, aa=args.aa)
+    return verify(args.scene, aa=args.aa)
 
 
 if __name__ == "__main__":

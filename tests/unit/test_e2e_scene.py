@@ -5,6 +5,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from e2e_render import (  # noqa: E402
@@ -76,3 +77,18 @@ def test_e2e_flare_matches_golden_if_present():
     # diffraction rings, hex aperture, and star streaks of
     # ops/lens_flare.py, which the other families never execute.
     _check_scene_golden("flare")
+
+
+def test_e2e_cli_alias_conflict_rejected(monkeypatch):
+    """`--scene v2 --aa` must raise through main(), not silently verify
+    the aa golden family (regression: main() resolved the alias before
+    the _scene_name conflict guard could see it)."""
+    import sys
+
+    import e2e_render
+
+    monkeypatch.setattr(
+        sys, "argv", ["e2e_render.py", "--verify", "--scene", "v2", "--aa"]
+    )
+    with pytest.raises(ValueError, match="conflicts"):
+        e2e_render.main()

@@ -241,3 +241,56 @@ def test_cli_fov_out_of_range_rejected():
     assert config_from_args(
         build_parser().parse_args(["--fov", "70"])
     ).fov == 70.0
+
+
+def test_missing_disk_texture_raises(tiny_cfg):
+    """A typo'd --disk_texture path must fail loudly instead of silently
+    rendering the procedural lifecycle disk."""
+    cfg = dataclasses.replace(tiny_cfg, disk_texture="no/such/file.png")
+    with pytest.raises(FileNotFoundError, match="no/such/file.png"):
+        render_image(cfg)
+
+
+def test_corrupt_progress_json_restarts(tiny_cfg, tmp_path):
+    """A truncated progress.json (pre-atomic-write runs, disk faults)
+    restarts the video instead of crashing the resume path."""
+    cfg = dataclasses.replace(tiny_cfg, video=True)
+    render_video(cfg)
+    progress = glob.glob(str(tmp_path / ".frames_*" / "progress.json"))[0]
+    with open(progress, "w") as f:
+        f.write('{"params": {"n_fra')  # truncated mid-write
+    render_video(dataclasses.replace(cfg, resume=True))
+    data = json.load(open(progress))
+    assert sorted(data["completed"]) == [0, 1, 2]
+
+
+def test_video_renderer_pins_scene_escape_radius(tiny_cfg, monkeypatch):
+    """Sequential video must pin r_escape to the scene constant:
+    recomputing it per frame from the orbit camera drifts by ulps and
+    each distinct value recompiles the whole jitted trace."""
+    import bhr_tpu.modes as modes_mod
+    from bhr_tpu.config import scene_escape_radius
+
+    captured = {}
+    real = modes_mod._make_renderer
+
+    def spy(config, r_escape_quantum=0.0, r_escape_override=None):
+        captured["override"] = r_escape_override
+        return real(config, r_escape_quantum, r_escape_override)
+
+    monkeypatch.setattr(modes_mod, "_make_renderer", spy)
+    # frame_shards=1 forces the sequential engine (the sharded engine
+    # uses scene_escape_radius directly and never calls _make_renderer).
+    cfg = dataclasses.replace(
+        tiny_cfg, video=True, n_frames=1, frame_shards=1
+    )
+    render_video(cfg)
+    assert captured["override"] == scene_escape_radius(cfg)
+
+
+def test_pov_inside_horizon_rejected():
+    # Horizon is at r = RS = 1.0 (reference units, rs = 1).
+    for pov in [(0.0, 0.0, 0.0), (0.5, 0.5, 0.5), (1.0, 0.0, 0.0)]:
+        with pytest.raises(ValueError, match="event"):
+            SceneConfig(pov=pov).validated()
+    SceneConfig(pov=(1.1, 0.0, 0.0)).validated()  # just outside: fine

@@ -8,8 +8,9 @@ chip. This script drives all of it and checks invariants:
 
   1. e2e golden scene: same-backend golden + cross-backend bounds
      (tests/e2e_render.py --verify).
-  2. Sharded dynamic video renderer, 2 frames: finite, non-trivial
-     output; frame-to-frame change (lifecycle advancing).
+  2. Sharded dynamic video renderer, 2 frames: bright, non-trivial
+     output; frame-to-frame change (lifecycle advancing). (NaN
+     detection is section 1's job — these frames are uint8.)
   3. AA (ray-differential) variant compiles and softens edges.
 
 Run from the repo root: `python tools/verify_tpu.py`; exit 0 = pass.
@@ -90,9 +91,15 @@ def main() -> int:
         )
         return np.asarray(out)
 
+    # NaN/Inf detection lives in section 1: the float-path golden
+    # comparisons fail on any non-finite pixel (NaN compares false
+    # against every tolerance). These frames are uint8 — the on-device
+    # cast destroys NaN bits, so an isfinite() check here would be
+    # vacuous; check structural invariants instead.
     frames = render_two("disabled")
-    if not np.isfinite(frames.astype(np.float64)).all():
-        failures.append("video frames contain non-finite values")
+    if frames.max() < 64:
+        failures.append(f"video frames dim (max {frames.max()}) — "
+                        "photon ring/disk missing")
     occupancy = (frames > 0).mean()
     if not 0.2 < occupancy < 1.0:
         failures.append(f"video frame occupancy {occupancy:.3f} out of range")
@@ -106,8 +113,8 @@ def main() -> int:
 
     # -- 3. AA variant -------------------------------------------------------
     aa = render_two("lod_radius")
-    if not np.isfinite(aa.astype(np.float64)).all():
-        failures.append("AA frames contain non-finite values")
+    if aa.max() < 64:
+        failures.append(f"AA frames dim (max {aa.max()})")
     aa_delta = np.abs(
         aa[0].astype(np.int16) - frames[0].astype(np.int16)
     ).mean()
