@@ -178,3 +178,25 @@ def test_rt_spike_count_scales_with_disk_area():
     narrow_area = (3.5**2 - 2.0**2) / 10.0
     s_narrow, _ = generate_rt_spikes(key, 64, 256, narrow_area)
     assert float(jnp.mean(s_narrow > 0.05)) < float(jnp.mean(spikes > 0.05))
+
+
+def test_spiral_arm_toggle():
+    """Kill-switch parity (reference tests/unit/test_spiral_arm_toggle):
+    disabled (the default, ENABLE_DISK_SPIRAL_ARMS=False) returns exact
+    zeros; enabled produces a bounded non-trivial spiral field."""
+    from bhr_tpu.constants import ENABLE_DISK_SPIRAL_ARMS
+    from bhr_tpu.models.disk_texture import generate_spiral_arms
+
+    assert ENABLE_DISK_SPIRAL_ARMS is False  # reference default
+    key = jax.random.PRNGKey(5)
+    sp, sp_t = generate_spiral_arms(key, 32, 128)
+    assert not np.asarray(sp).any() and not np.asarray(sp_t).any()
+
+    sp_on, sp_t_on = generate_spiral_arms(key, 32, 128, enabled=True)
+    sp_on = np.asarray(sp_on)
+    assert sp_on.shape == (32, 128)
+    assert sp_on.max() > 0.05 and sp_on.min() >= 0.0
+    assert np.asarray(sp_t_on).max() <= sp_on.max() + 1e-6
+    # deterministic by key
+    again, _ = generate_spiral_arms(key, 32, 128, enabled=True)
+    np.testing.assert_array_equal(sp_on, np.asarray(again))
