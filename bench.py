@@ -124,7 +124,30 @@ def time_resolution(resolution: str, batch: int,
     return (time.perf_counter() - t0) / batch * 1000.0
 
 
+def _default_backend_alive(timeout_s: float = 180.0) -> bool:
+    """Probe the default backend in a subprocess (same pattern as
+    __graft_entry__._probe_default_backend): a dead relayed-TPU tunnel
+    hangs backend init ~20 min and the init lock then wedges this whole
+    process — fail fast with a clear error instead."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
+    if not _default_backend_alive():
+        print("bench.py: default JAX backend unavailable (device relay "
+              "down?) — refusing to hang or report CPU numbers",
+              file=sys.stderr)
+        return 1
+
     from bhr_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
