@@ -125,20 +125,12 @@ def time_resolution(resolution: str, batch: int,
 
 
 def _default_backend_alive(timeout_s: float = 180.0) -> bool:
-    """Probe the default backend in a subprocess (same pattern as
-    __graft_entry__._probe_default_backend): a dead relayed-TPU tunnel
-    hangs backend init ~20 min and the init lock then wedges this whole
-    process — fail fast with a clear error instead."""
-    import subprocess
+    """Subprocess probe: a dead relayed-TPU tunnel hangs backend init
+    ~20 min and the init lock then wedges this whole process — fail
+    fast with a clear error instead."""
+    from bhr_tpu.utils.backend import probe_default_backend
 
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        return out.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    return probe_default_backend(timeout_s) > 0
 
 
 def main() -> int:

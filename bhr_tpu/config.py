@@ -96,7 +96,7 @@ class SceneConfig:
         # The camera basis divides by |pov| and no light escapes from
         # inside the horizon — pov at/inside r=RS would render NaNs or
         # garbage instead of failing fast like the other typo guards.
-        pov_dist = math.sqrt(sum(float(c) ** 2 for c in self.pov))
+        pov_dist = _cam_distance(self.pov)
         if not math.isfinite(pov_dist) or pov_dist <= RS:
             raise ValueError(
                 f"camera |pov| must be finite and outside the event "
@@ -162,6 +162,11 @@ class SceneConfig:
         return self.anti_alias != "disabled" and self.disk_model != "v2"
 
 
+def _cam_distance(cam_pos) -> float:
+    """Euclidean camera distance |cam_pos| (host float)."""
+    return math.sqrt(sum(float(c) ** 2 for c in cam_pos))
+
+
 def escape_radius(r_max: float, cam_pos) -> float:
     """Trace escape radius: ``max(r_max, 2 x camera distance)`` — the
     reference's formula (render.py:3829, 3884). ONE source for every
@@ -172,8 +177,7 @@ def escape_radius(r_max: float, cam_pos) -> float:
     escape radius are shaded as sky in BOTH implementations — raising
     r_max is the supported way to render the far annulus.
     """
-    d = math.sqrt(sum(float(c) ** 2 for c in cam_pos))
-    return max(float(r_max), 2.0 * d)
+    return max(float(r_max), 2.0 * _cam_distance(cam_pos))
 
 
 def scene_escape_radius(config: "SceneConfig") -> float:
@@ -191,8 +195,7 @@ def scene_escape_radius(config: "SceneConfig") -> float:
     """
     if config.orbit:
         d = math.sqrt(
-            sum(float(c) ** 2 for c in config.pov)
-            + float(config.pov[2]) ** 2
+            _cam_distance(config.pov) ** 2 + float(config.pov[2]) ** 2
         )
         return max(float(config.r_max), 2.0 * d)
     return escape_radius(config.r_max, config.pov)

@@ -154,7 +154,8 @@ def load_video_progress(config: SceneConfig, temp_dir: str,
         )
         compare = {k: v for k, v in params.items() if k != "sharded"}
         if saved_params != compare:
-            print("Parameters changed; starting over")
+            if saved:  # corrupt-file path already printed its own reason
+                print("Parameters changed; starting over")
             shutil.rmtree(temp_dir)
             os.makedirs(temp_dir, exist_ok=True)
         else:
