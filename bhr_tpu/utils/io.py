@@ -57,9 +57,13 @@ def write_json_atomic(path: str, obj) -> None:
 
 
 def save_image(image: np.ndarray, path: str) -> None:
-    """Save an (H, W, 3) image as PNG (float in [0, 1] or uint8)."""
-    from PIL import Image
+    """Save an (H, W, 3) image as PNG (float in [0, 1] or uint8).
 
+    Uses the native C++ encoder (bhr_tpu/native) when it built on this
+    host — ~5x faster than PIL on the single-core render host, which
+    makes PNG encode the video loop's bottleneck otherwise. Falls back
+    to PIL (BHR_TPU_NATIVE=0, missing toolchain, or non-PNG suffix).
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if image.dtype == np.uint8:
         img_uint8 = image
@@ -69,6 +73,19 @@ def save_image(image: np.ndarray, path: str) -> None:
         # under resume — the quantizers must agree. (The reference
         # truncates, render.py:423; a half-LSB bias, not a visual one.)
         img_uint8 = np.round(np.clip(image, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+    if (
+        path.lower().endswith(".png")
+        and img_uint8.ndim == 3
+        and img_uint8.shape[2] == 3
+    ):
+        from bhr_tpu import native
+
+        if native.available():
+            native.save_png_rgb8(img_uint8, path)
+            return
+    from PIL import Image
+
     Image.fromarray(img_uint8, "RGB").save(path)
 
 
