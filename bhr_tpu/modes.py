@@ -314,8 +314,10 @@ def render_video(config: SceneConfig,
 
 def _assemble_video(temp_dir: str, output_path: str, n_frames: int,
                     fps: int) -> None:
-    """H.264 assembly via imageio/pyav when available; otherwise leave
-    the PNG frames and print the ffmpeg recipe."""
+    """H.264 assembly: native libavcodec writer, then imageio/pyav,
+    then the ffmpeg CLI, then the dependency-free MJPEG AVI."""
+    if _assemble_video_native(temp_dir, output_path, n_frames, fps):
+        return
     writer = None
     try:
         import imageio.v3 as iio
@@ -378,3 +380,45 @@ def _assemble_video(temp_dir: str, output_path: str, n_frames: int,
         print(f"Re-mux to {ext or '.mp4'} later: "
               f"ffmpeg -i {avi_path} -c:v libx264 -crf 18 "
               f"-pix_fmt yuv420p {output_path}")
+
+
+def _assemble_video_native(temp_dir: str, output_path: str, n_frames: int,
+                           fps: int) -> bool:
+    """H.264/MP4 assembly via the native libavcodec writer
+    (bhr_tpu/native/fastvideo.cpp). True on success; False means "try
+    the next assembler" (unavailable codec, odd frame dimensions, a
+    bad frame PNG, ...) with any partial output removed."""
+    import numpy as np
+    from PIL import Image
+
+    from . import native
+
+    if not os.path.splitext(output_path)[1].lower() in (".mp4", ".mkv", ".mov"):
+        return False
+    try:
+        if not native.video_available():
+            return False
+        first = np.asarray(
+            Image.open(os.path.join(temp_dir, "frame_0000.png")).convert("RGB")
+        )
+        height, width = first.shape[:2]
+        os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+        with native.H264Writer(output_path, width, height, fps) as writer:
+            writer.write(first)
+            for frame in range(1, n_frames):
+                writer.write(np.asarray(
+                    Image.open(
+                        os.path.join(temp_dir, f"frame_{frame:04d}.png")
+                    ).convert("RGB")
+                ))
+        print(f"Video saved: {output_path}")
+        return True
+    except Exception as exc:
+        # A truncated .mp4 at the advertised path would look finished.
+        try:
+            os.remove(output_path)
+        except OSError:
+            pass
+        print(f"native H.264 assembly unavailable ({exc}); "
+              "trying imageio/pyav")
+        return False
