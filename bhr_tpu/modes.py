@@ -413,12 +413,17 @@ def _assemble_video_native(temp_dir: str, output_path: str, n_frames: int,
                 ))
         print(f"Video saved: {output_path}")
         return True
-    except Exception as exc:
+    except BaseException as exc:
         # A truncated .mp4 at the advertised path would look finished.
+        # (H264Writer.__exit__ already skipped the trailer; remove the
+        # unfinalized bytes too.) Ctrl-C must still interrupt the run,
+        # so only plain Exceptions fall through to the next assembler.
         try:
             os.remove(output_path)
         except OSError:
             pass
+        if not isinstance(exc, Exception):
+            raise
         print(f"native H.264 assembly unavailable ({exc}); "
               "trying imageio/pyav")
         return False

@@ -30,7 +30,9 @@ import ctypes
 import hashlib
 import os
 import subprocess
+import sys
 import tempfile
+import threading
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -47,6 +49,10 @@ _LINK_ATTEMPTS: Dict[str, List[List[str]]] = {
 }
 
 _libs: Dict[str, Optional[ctypes.CDLL]] = {}
+# One compile at a time: without this the first concurrent callers
+# (AsyncPNGWriter's two workers, parallel pytest) each spawn a full
+# g++ -O3 of the same source on the single-core host.
+_build_lock = threading.Lock()
 
 
 def _disabled() -> bool:
@@ -72,7 +78,21 @@ def _build_and_load(name: str) -> Optional[ctypes.CDLL]:
                                timeout=120)
                 built = True
                 break
-            except Exception:
+            except subprocess.CalledProcessError as exc:
+                # A genuine compile error (vs a missing library on the
+                # last attempt) must be diagnosable: the silent fallback
+                # to PIL/MJPEG would otherwise hide a broken .cpp edit
+                # forever. Opt-in so toolchain-less hosts stay quiet.
+                if os.environ.get("BHR_TPU_NATIVE_DEBUG"):
+                    sys.stderr.write(
+                        f"[bhr_tpu.native] build of {name} with "
+                        f"{extra} failed:\n"
+                        f"{exc.stderr.decode(errors='replace')}\n")
+                continue
+            except Exception as exc:
+                if os.environ.get("BHR_TPU_NATIVE_DEBUG"):
+                    sys.stderr.write(
+                        f"[bhr_tpu.native] build of {name}: {exc!r}\n")
                 continue
         if built:
             os.replace(tmp, so_path)
@@ -110,6 +130,8 @@ def _declare(name: str, lib: ctypes.CDLL) -> None:
         lib.fastvideo_write_frame.restype = ctypes.c_int
         lib.fastvideo_close.argtypes = [c_vp]
         lib.fastvideo_close.restype = ctypes.c_int
+        lib.fastvideo_abort.argtypes = [c_vp]
+        lib.fastvideo_abort.restype = None
         lib.fastvideo_probe.argtypes = [ctypes.c_char_p] + [
             ctypes.POINTER(c_i32)] * 3
         lib.fastvideo_probe.restype = ctypes.c_int
@@ -122,7 +144,9 @@ def _get_lib(name: str) -> Optional[ctypes.CDLL]:
     if _disabled():
         return None
     if name not in _libs:
-        _libs[name] = _build_and_load(name)
+        with _build_lock:
+            if name not in _libs:
+                _libs[name] = _build_and_load(name)
     return _libs[name]
 
 
@@ -238,17 +262,26 @@ class H264Writer:
             if rc != 0:
                 raise RuntimeError(f"fastvideo_close failed with code {rc}")
 
+    def abort(self) -> None:
+        """Free the handle WITHOUT finalizing the container: the file
+        is left without its moov box (unplayable), so an interrupted
+        write can never masquerade as a finished video."""
+        if self._handle is not None:
+            handle, self._handle = self._handle, None
+            self._lib.fastvideo_abort(handle)
+
     def __enter__(self) -> "H264Writer":
         return self
 
     def __exit__(self, exc_type, exc, tb) -> None:
-        # Finalize cleanly on success; on an in-flight exception still
-        # free the handle but let the original error propagate.
+        # Finalize on success; on ANY in-flight exception (including
+        # KeyboardInterrupt) abort so no trailer is written — a
+        # truncated-but-playable file at the advertised path is the
+        # failure mode the assembly chain promises not to produce.
         if exc_type is None:
             self.close()
-        elif self._handle is not None:
-            handle, self._handle = self._handle, None
-            self._lib.fastvideo_close(handle)
+        else:
+            self.abort()
 
 
 def probe_video(path: str):

@@ -142,6 +142,12 @@ int fastpng_encode_rgb8(const uint8_t *rgb, int32_t width, int32_t height,
   std::memset(&zs, 0, sizeof(zs));
   if (deflateInit(&zs, level) != Z_OK) return 2;
   const size_t bound = deflateBound(&zs, static_cast<uLong>(raw_len));
+  // avail_out is a uInt: a bound past 4 GiB would silently wrap and
+  // truncate the IDAT. No real frame comes close; fail loudly.
+  if (bound > 0xffffffffu) {
+    deflateEnd(&zs);
+    return 7;
+  }
 #endif
 
   // Layout: 8 (sig) + 25 (IHDR) + [12 + bound] (IDAT) + 12 (IEND).
@@ -216,7 +222,9 @@ int fastpng_encode_rgb8(const uint8_t *rgb, int32_t width, int32_t height,
   }
   std::free(scratch);
   std::free(filtered);
-  if (!(zrc == Z_STREAM_END || zrc == Z_OK)) {
+  // Only Z_STREAM_END proves the final Z_FINISH consumed everything;
+  // stopping at Z_OK would mean a truncated stream reported as success.
+  if (zrc != Z_STREAM_END) {
     std::free(buf);
     deflateEnd(&zs);
     return 4;

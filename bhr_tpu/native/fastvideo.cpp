@@ -128,10 +128,18 @@ void *fastvideo_open(const char *path, int32_t width, int32_t height,
     v->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
   // Single-core host: veryfast trades ~10-20% bitrate for ~4x encode
   // speed vs the default preset; CRF controls quality either way.
+  // These are libx264 private options; another H.264 encoder (e.g. an
+  // openh264 ffmpeg build) rejects them, so on failure fall back to an
+  // explicit bitrate budget (~0.15 bits/pixel at the target framerate,
+  // FHD@24 ≈ 7.5 Mbit/s) instead of that encoder's default rate
+  // control, which can be far below visually-lossless.
   av_opt_set(v->enc->priv_data, "preset", "veryfast", 0);
   char crf_s[8];
   std::snprintf(crf_s, sizeof crf_s, "%d", crf);
-  av_opt_set(v->enc->priv_data, "crf", crf_s, 0);
+  if (av_opt_set(v->enc->priv_data, "crf", crf_s, 0) < 0) {
+    v->enc->bit_rate =
+        static_cast<int64_t>(0.15 * width * height * fps);
+  }
 
   if (avcodec_open2(v->enc, codec, nullptr) < 0 ||
       avcodec_parameters_from_context(v->stream->codecpar, v->enc) < 0) {
@@ -180,6 +188,14 @@ int fastvideo_write_frame(void *handle, const uint8_t *rgb) {
             v->frame->linesize);
   v->frame->pts = v->pts++;
   return drain(v, false) < 0 ? 3 : 0;
+}
+
+// Free the handle WITHOUT flushing or writing the trailer: the file is
+// left unfinalized (no moov box — unplayable), for abandoning a write
+// after an error so a truncated-but-playable video can never sit at
+// the advertised path.
+void fastvideo_abort(void *handle) {
+  destroy(static_cast<FastVideo *>(handle));
 }
 
 // Flush the encoder, write the trailer, and free the handle. Always

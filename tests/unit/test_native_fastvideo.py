@@ -84,6 +84,51 @@ def test_writer_input_validation(tmp_path):
 
 
 @needs_video
+def test_exception_aborts_without_trailer(tmp_path):
+    """An in-flight exception must NOT finalize the container: a
+    truncated-but-playable video at the advertised path is the failure
+    mode the assembly chain promises not to produce."""
+    path = str(tmp_path / "broken.mp4")
+    with pytest.raises(RuntimeError, match="boom"):
+        with native.H264Writer(path, 64, 48, fps=8) as writer:
+            for f in _gradient_frames(3, 48, 64):
+                writer.write(f)
+            raise RuntimeError("boom")
+    # No moov box was written, so probing must fail.
+    with pytest.raises(RuntimeError):
+        native.probe_video(path)
+
+
+@needs_video
+def test_assemble_video_keyboard_interrupt_removes_partial(tmp_path,
+                                                           monkeypatch):
+    """Ctrl-C during assembly: partial output removed, interrupt
+    propagates (it must still stop the run)."""
+    from bhr_tpu import modes
+
+    temp_dir = str(tmp_path / "frames")
+    os.makedirs(temp_dir)
+    for i, f in enumerate(_gradient_frames(4, 48, 64)):
+        Image.fromarray(f, "RGB").save(
+            os.path.join(temp_dir, f"frame_{i:04d}.png"))
+    out = str(tmp_path / "orbit.mp4")
+
+    real_write = native.H264Writer.write
+    calls = []
+
+    def interrupting_write(self, frame):
+        if len(calls) == 2:
+            raise KeyboardInterrupt
+        calls.append(1)
+        real_write(self, frame)
+
+    monkeypatch.setattr(native.H264Writer, "write", interrupting_write)
+    with pytest.raises(KeyboardInterrupt):
+        modes._assemble_video(temp_dir, out, 4, fps=4)
+    assert not os.path.exists(out)
+
+
+@needs_video
 def test_open_failure_raises(tmp_path):
     with pytest.raises(RuntimeError):
         native.H264Writer("/nonexistent-dir/v.mp4", 64, 48, fps=8)
