@@ -26,7 +26,12 @@ from .config import (
 from .models.dynamic_disk import DynamicDiskSystem
 from .models.skybox import load_or_generate_skybox
 from .pipeline import Renderer
-from .utils.io import AsyncPNGWriter, load_disk_texture, write_json_atomic
+from .utils.io import (
+    AsyncPNGWriter,
+    IncrementalH264Assembler,
+    load_disk_texture,
+    write_json_atomic,
+)
 
 
 def _make_renderer(config: SceneConfig,
@@ -253,9 +258,47 @@ def render_video(config: SceneConfig,
               f"in {time.time() - t0:.1f}s")
 
     writer = AsyncPNGWriter(max_workers=2, max_pending=4)
+    # Inline H.264: encode each frame from RAM as it renders, so on an
+    # uninterrupted run the post-pass (which would re-decode every PNG)
+    # never runs. Any failure just falls back to _assemble_video.
+    assembler = IncrementalH264Assembler(
+        output_path, config.n_frames, config.fps, temp_dir
+    )
     total_t0 = time.time()
-    rendered = 0
 
+    try:
+        _render_video_frames(config, temp_dir, renderer, dynamic, writer,
+                             assembler, completed, progress_file, params,
+                             total_t0)
+    except BaseException:
+        assembler.discard()
+        raise
+
+    writer.close()
+    write_json_atomic(
+        progress_file, {"params": params, "completed": sorted(completed)}
+    )
+
+    if len(completed) < config.n_frames:
+        assembler.discard()
+        print(f"Only {len(completed)}/{config.n_frames} frames done. "
+              "Run again with resume to continue.")
+        return
+
+    print(f"All frames rendered in {(time.time() - total_t0) / 60:.1f} min")
+    if assembler.finalize():
+        print(f"Video saved: {output_path}")
+    else:
+        _assemble_video(temp_dir, output_path, config.n_frames, config.fps)
+
+
+def _render_video_frames(config, temp_dir, renderer, dynamic, writer,
+                         assembler, completed, progress_file, params,
+                         total_t0) -> None:
+    """The sequential per-frame loop of render_video (factored out so
+    the caller can guarantee assembler cleanup on any interruption)."""
+    dt = config.disk_rotation_speed
+    rendered = 0
     for frame in range(config.n_frames):
         t = frame * dt
         if config.orbit:
@@ -280,6 +323,7 @@ def render_video(config: SceneConfig,
         rendered += 1
 
         writer.submit(img, os.path.join(temp_dir, f"frame_{frame:04d}.png"))
+        assembler.submit(frame, img)
         completed.add(frame)
         if rendered % 10 == 0 or frame == config.n_frames - 1:
             # Flush pending PNGs first: a frame must exist on disk
@@ -297,19 +341,6 @@ def render_video(config: SceneConfig,
             )
             print(f"frame {frame}/{config.n_frames} "
                   f"done {len(completed)} ETA {eta / 60:.0f}min")
-
-    writer.close()
-    write_json_atomic(
-        progress_file, {"params": params, "completed": sorted(completed)}
-    )
-
-    if len(completed) < config.n_frames:
-        print(f"Only {len(completed)}/{config.n_frames} frames done. "
-              "Run again with resume to continue.")
-        return
-
-    print(f"All frames rendered in {(time.time() - total_t0) / 60:.1f} min")
-    _assemble_video(temp_dir, output_path, config.n_frames, config.fps)
 
 
 def _assemble_video(temp_dir: str, output_path: str, n_frames: int,

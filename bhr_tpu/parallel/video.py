@@ -329,41 +329,60 @@ def render_video_sharded(config: SceneConfig) -> None:
         tex_dtype=tex_dtype,
     )
 
+    from ..utils.io import IncrementalH264Assembler
+
     writer = AsyncPNGWriter(max_workers=4, max_pending=8)
+    # Inline H.264: frames leave the device in index order, so each is
+    # fed to the native encoder as it lands; on an uninterrupted run
+    # the post-pass (a full-video PNG re-decode) never executes.
+    assembler = IncrementalH264Assembler(
+        output_path, config.n_frames, config.fps, temp_dir
+    )
     total_t0 = time.time()
     pending = [f for f in range(config.n_frames) if f not in completed]
     # Pad the final batch by repeating the last frame (discarded on write).
     n_batches = (len(pending) + batch - 1) // batch
-    for b in range(n_batches):
-        chunk = pending[b * batch : (b + 1) * batch]
-        idx = chunk + [chunk[-1]] * (batch - len(chunk))
-        frames, renderer_fn = render_video_frames_sharded(
-            config, mesh, idx, skybox_q, dynamic,
-            all_fil, all_hs, all_rt, renderer_fn,
-        )
-        for i, f in enumerate(chunk):
-            writer.submit(
-                frames[i], os.path.join(temp_dir, f"frame_{f:04d}.png")
+    try:
+        for b in range(n_batches):
+            chunk = pending[b * batch : (b + 1) * batch]
+            idx = chunk + [chunk[-1]] * (batch - len(chunk))
+            frames, renderer_fn = render_video_frames_sharded(
+                config, mesh, idx, skybox_q, dynamic,
+                all_fil, all_hs, all_rt, renderer_fn,
             )
-            completed.add(f)
-        # Flush pending PNGs before recording them as completed — a
-        # crash between the two would otherwise lose frames permanently
-        # under resume (progress says done, no PNG on disk).
-        writer.drain()
-        write_json_atomic(
-            progress_file, {"params": params, "completed": sorted(completed)}
-        )
-        if (b + 1) % 10 == 0 or b == n_batches - 1:
-            done = len(completed)
-            # Rate over THIS session's frames only — `completed` also
-            # counts frames from previous (resumed) sessions.
-            session_done = min((b + 1) * batch, len(pending))
-            rate = session_done / max(time.time() - total_t0, 1e-9)
-            print(f"batch {b + 1}/{n_batches} done {done}/{config.n_frames} "
-                  f"({rate:.2f} frames/s)")
+            for i, f in enumerate(chunk):
+                writer.submit(
+                    frames[i], os.path.join(temp_dir, f"frame_{f:04d}.png")
+                )
+                assembler.submit(f, frames[i])
+                completed.add(f)
+            # Flush pending PNGs before recording them as completed — a
+            # crash between the two would otherwise lose frames
+            # permanently under resume (progress says done, no PNG on
+            # disk).
+            writer.drain()
+            write_json_atomic(
+                progress_file,
+                {"params": params, "completed": sorted(completed)},
+            )
+            if (b + 1) % 10 == 0 or b == n_batches - 1:
+                done = len(completed)
+                # Rate over THIS session's frames only — `completed`
+                # also counts frames from previous (resumed) sessions.
+                session_done = min((b + 1) * batch, len(pending))
+                rate = session_done / max(time.time() - total_t0, 1e-9)
+                print(f"batch {b + 1}/{n_batches} "
+                      f"done {done}/{config.n_frames} "
+                      f"({rate:.2f} frames/s)")
+    except BaseException:
+        assembler.discard()
+        raise
     writer.close()
 
     print(f"All frames rendered in {(time.time() - total_t0) / 60:.1f} min")
+    if assembler.finalize():
+        print(f"Video saved: {output_path}")
+        return
     from ..modes import _assemble_video
 
     _assemble_video(temp_dir, output_path, config.n_frames, config.fps)

@@ -56,6 +56,22 @@ def write_json_atomic(path: str, obj) -> None:
     os.replace(tmp, path)
 
 
+def quantize_frame(image: np.ndarray) -> np.ndarray:
+    """(H, W, 3) float [0,1] or uint8 -> uint8, the one quantizer every
+    frame consumer shares (PNG frames, inline H.264, MJPEG) so a video
+    assembled from RAM is pixel-identical to one assembled from the
+    PNGs on disk.
+
+    Round, not truncate: the sharded video engine quantizes on device
+    with jnp.round, and both engines share one frame dir under resume —
+    the quantizers must agree. (The reference truncates, render.py:423;
+    a half-LSB bias, not a visual one.)
+    """
+    if image.dtype == np.uint8:
+        return image
+    return np.round(np.clip(image, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
 def save_image(image: np.ndarray, path: str) -> None:
     """Save an (H, W, 3) image as PNG (float in [0, 1] or uint8).
 
@@ -65,14 +81,7 @@ def save_image(image: np.ndarray, path: str) -> None:
     to PIL (BHR_TPU_NATIVE=0, missing toolchain, or non-PNG suffix).
     """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    if image.dtype == np.uint8:
-        img_uint8 = image
-    else:
-        # Round (not truncate): the sharded video engine quantizes on
-        # device with jnp.round, and both engines share one frame dir
-        # under resume — the quantizers must agree. (The reference
-        # truncates, render.py:423; a half-LSB bias, not a visual one.)
-        img_uint8 = np.round(np.clip(image, 0.0, 1.0) * 255.0).astype(np.uint8)
+    img_uint8 = quantize_frame(image)
 
     if (
         path.lower().endswith(".png")
@@ -223,3 +232,114 @@ def write_mjpeg_avi(
         fh.write(pack_avih(max_size))
         fh.seek(hdrl_at + 20 + 56 + 8 + 4 + 8)
         fh.write(pack_strh(max_size))
+
+
+class IncrementalH264Assembler:
+    """Encode the orbit video WHILE frames render, from RAM.
+
+    The reference assembles its video in a post-pass over the PNG
+    frames (render.py:4497-4503) — which re-decodes every frame it
+    just encoded. Here each rendered frame is already in host memory
+    when the PNG is queued, so it is fed straight into the native
+    H.264 writer; on an uninterrupted run the video is finished the
+    moment the last frame renders and the post-pass (and its
+    full-video PNG decode) never runs.
+
+    The PNG frames stay the durability anchor, untouched:
+
+    - resume: frames completed by an earlier session exist only on
+      disk; ``submit`` transparently catches up by decoding the gap
+      frames (in index order) before encoding the fresh one.
+    - interruption / any encode error: the writer is ABORTED (no MP4
+      trailer — see H264Writer.abort) and the partial file removed;
+      ``finalize`` then reports False and the caller falls back to the
+      post-pass assembler chain.
+    - unavailability (no native codec, odd dimensions, non-MP4 output):
+      the assembler is inert from birth and ``finalize`` returns False.
+
+    Frames are quantized with the same ``quantize_frame`` as the PNG
+    writer, so the inline video is pixel-identical to a post-pass one.
+    """
+
+    _EXTS = (".mp4", ".mkv", ".mov")
+
+    def __init__(self, output_path: str, n_frames: int, fps: int,
+                 temp_dir: str):
+        self._path = output_path
+        self._n = n_frames
+        self._fps = fps
+        self._dir = temp_dir
+        self._writer = None
+        self._next = 0
+        self._dead = os.path.splitext(output_path)[1].lower() not in self._EXTS
+        if not self._dead:
+            try:
+                from bhr_tpu import native
+
+                self._dead = not native.video_available()
+            except Exception:
+                self._dead = True
+
+    def _encode(self, rgb: np.ndarray) -> None:
+        if self._writer is None:
+            from bhr_tpu import native
+
+            h, w = rgb.shape[:2]
+            os.makedirs(os.path.dirname(self._path) or ".", exist_ok=True)
+            self._writer = native.H264Writer(self._path, w, h, self._fps)
+        self._writer.write(rgb)
+        self._next += 1
+
+    def _catch_up(self, upto: int) -> None:
+        from PIL import Image
+
+        while self._next < upto:
+            p = os.path.join(self._dir, f"frame_{self._next:04d}.png")
+            self._encode(np.asarray(Image.open(p).convert("RGB")))
+
+    def submit(self, frame_idx: int, image: np.ndarray) -> None:
+        """Feed frame `frame_idx` (fresh render, float [0,1] or uint8).
+
+        Must be called in increasing frame order; earlier frames that
+        were never submitted this session are read from their PNGs.
+        Never raises on encode problems — the assembler goes inert and
+        the post-pass fallback takes over at finalize()."""
+        if self._dead or frame_idx >= self._n:
+            return
+        try:
+            self._catch_up(frame_idx)
+            self._encode(quantize_frame(np.asarray(image)))
+        except Exception:
+            self.discard()
+
+    def finalize(self) -> bool:
+        """Close the container. True = video complete at output_path;
+        False = caller must run the post-pass assembler chain."""
+        if self._dead:
+            return False
+        try:
+            self._catch_up(self._n)
+            if self._writer is None:  # zero frames
+                raise RuntimeError("no frames were encoded")
+            writer, self._writer = self._writer, None
+            writer.close()
+            self._dead = True
+            return True
+        except Exception:
+            self.discard()
+            return False
+
+    def discard(self) -> None:
+        """Abort without a trailer and remove the partial file. Safe to
+        call at any point (idempotent); the PNG frames are untouched."""
+        if self._writer is not None:
+            writer, self._writer = self._writer, None
+            try:
+                writer.abort()
+            except Exception:
+                pass
+        self._dead = True
+        try:
+            os.remove(self._path)
+        except OSError:
+            pass

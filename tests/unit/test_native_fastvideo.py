@@ -163,6 +163,112 @@ def test_assemble_video_odd_dims_falls_back(tmp_path, capsys):
     assert os.path.exists(str(tmp_path / "orbit.avi"))
 
 
+@needs_video
+def test_incremental_assembler_inline(tmp_path):
+    from bhr_tpu.utils.io import IncrementalH264Assembler
+
+    temp_dir = str(tmp_path / "frames")
+    os.makedirs(temp_dir)
+    out = str(tmp_path / "v.mp4")
+    asm = IncrementalH264Assembler(out, 6, fps=4, temp_dir=temp_dir)
+    for i, f in enumerate(_gradient_frames(6, 48, 64)):
+        # Float input: must quantize identically to the PNG writer.
+        asm.submit(i, f.astype(np.float32) / 255.0)
+    assert asm.finalize()
+    assert native.probe_video(out) == (6, 64, 48)
+
+
+@needs_video
+def test_incremental_assembler_resume_catch_up(tmp_path):
+    """Frames 0-2 exist only as PNGs (earlier session); fresh submits
+    start at 3 — the assembler must splice the gap from disk."""
+    from bhr_tpu.utils.io import IncrementalH264Assembler
+
+    temp_dir = str(tmp_path / "frames")
+    os.makedirs(temp_dir)
+    frames = _gradient_frames(6, 48, 64)
+    for i in range(3):
+        Image.fromarray(frames[i], "RGB").save(
+            os.path.join(temp_dir, f"frame_{i:04d}.png"))
+    out = str(tmp_path / "v.mp4")
+    asm = IncrementalH264Assembler(out, 6, fps=4, temp_dir=temp_dir)
+    for i in range(3, 6):
+        asm.submit(i, frames[i])
+    assert asm.finalize()
+    assert native.probe_video(out) == (6, 64, 48)
+
+
+@needs_video
+def test_incremental_assembler_all_from_disk(tmp_path):
+    """Resume run where everything was already rendered: zero submits,
+    finalize() must still assemble the full video from the PNGs."""
+    from bhr_tpu.utils.io import IncrementalH264Assembler
+
+    temp_dir = str(tmp_path / "frames")
+    os.makedirs(temp_dir)
+    for i, f in enumerate(_gradient_frames(4, 48, 64)):
+        Image.fromarray(f, "RGB").save(
+            os.path.join(temp_dir, f"frame_{i:04d}.png"))
+    out = str(tmp_path / "v.mp4")
+    asm = IncrementalH264Assembler(out, 4, fps=4, temp_dir=temp_dir)
+    assert asm.finalize()
+    assert native.probe_video(out) == (4, 64, 48)
+
+
+@needs_video
+def test_incremental_assembler_failure_goes_inert(tmp_path):
+    """Odd dimensions can't be encoded: submits must not raise, the
+    partial file must be gone, finalize() must say 'run the post-pass'."""
+    from bhr_tpu.utils.io import IncrementalH264Assembler
+
+    temp_dir = str(tmp_path / "frames")
+    os.makedirs(temp_dir)
+    out = str(tmp_path / "v.mp4")
+    asm = IncrementalH264Assembler(out, 3, fps=4, temp_dir=temp_dir)
+    for i, f in enumerate(_gradient_frames(3, 47, 63)):
+        asm.submit(i, f)
+    assert not asm.finalize()
+    assert not os.path.exists(out)
+
+
+@needs_video
+def test_incremental_assembler_non_mp4_inert(tmp_path):
+    from bhr_tpu.utils.io import IncrementalH264Assembler
+
+    asm = IncrementalH264Assembler(
+        str(tmp_path / "v.avi"), 3, fps=4, temp_dir=str(tmp_path))
+    asm.submit(0, _gradient_frames(1, 48, 64)[0])
+    assert not asm.finalize()
+
+
+@needs_video
+def test_incremental_matches_post_pass_pixels(tmp_path):
+    """Inline assembly must be pixel-identical to post-pass assembly of
+    the same frames (same quantizer, same encoder)."""
+    from bhr_tpu.modes import _assemble_video
+    from bhr_tpu.utils.io import IncrementalH264Assembler, save_image
+
+    temp_dir = str(tmp_path / "frames")
+    os.makedirs(temp_dir)
+    frames = _gradient_frames(4, 48, 64)
+    floats = [f.astype(np.float32) / 255.0 for f in frames]
+    for i, f in enumerate(floats):
+        save_image(f, os.path.join(temp_dir, f"frame_{i:04d}.png"))
+
+    inline = str(tmp_path / "inline.mp4")
+    asm = IncrementalH264Assembler(inline, 4, fps=4, temp_dir=temp_dir)
+    for i, f in enumerate(floats):
+        asm.submit(i, f)
+    assert asm.finalize()
+
+    post = str(tmp_path / "post.mp4")
+    _assemble_video(temp_dir, post, 4, fps=4)
+
+    a = native.read_first_frame(inline, 64, 48)
+    b = native.read_first_frame(post, 64, 48)
+    assert np.array_equal(a, b)
+
+
 def test_disable_env_gates_video(monkeypatch):
     monkeypatch.setenv("BHR_TPU_NATIVE", "0")
     assert not native.video_available()
