@@ -266,30 +266,32 @@ def render_video(config: SceneConfig,
     )
     total_t0 = time.time()
 
-    try:
+    # The with-block covers everything through finalize: an exception
+    # ANYWHERE in it (frame loop, PNG drain in writer.close, progress
+    # write) discards the partial video via __exit__.
+    with assembler:
         _render_video_frames(config, temp_dir, renderer, dynamic, writer,
                              assembler, completed, progress_file, params,
                              total_t0)
-    except BaseException:
-        assembler.discard()
-        raise
 
-    writer.close()
-    write_json_atomic(
-        progress_file, {"params": params, "completed": sorted(completed)}
-    )
+        writer.close()
+        write_json_atomic(
+            progress_file, {"params": params, "completed": sorted(completed)}
+        )
 
-    if len(completed) < config.n_frames:
-        assembler.discard()
-        print(f"Only {len(completed)}/{config.n_frames} frames done. "
-              "Run again with resume to continue.")
-        return
+        if len(completed) < config.n_frames:
+            assembler.discard()
+            print(f"Only {len(completed)}/{config.n_frames} frames done. "
+                  "Run again with resume to continue.")
+            return
 
-    print(f"All frames rendered in {(time.time() - total_t0) / 60:.1f} min")
-    if assembler.finalize():
-        print(f"Video saved: {output_path}")
-    else:
-        _assemble_video(temp_dir, output_path, config.n_frames, config.fps)
+        print(f"All frames rendered in "
+              f"{(time.time() - total_t0) / 60:.1f} min")
+        if assembler.finalize():
+            print(f"Video saved: {output_path}")
+        else:
+            _assemble_video(temp_dir, output_path, config.n_frames,
+                            config.fps)
 
 
 def _render_video_frames(config, temp_dir, renderer, dynamic, writer,
@@ -423,8 +425,9 @@ def _assemble_video_native(temp_dir: str, output_path: str, n_frames: int,
     from PIL import Image
 
     from . import native
+    from .utils.io import H264_CONTAINER_EXTS
 
-    if not os.path.splitext(output_path)[1].lower() in (".mp4", ".mkv", ".mov"):
+    if os.path.splitext(output_path)[1].lower() not in H264_CONTAINER_EXTS:
         return False
     try:
         if not native.video_available():

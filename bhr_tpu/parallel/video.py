@@ -342,7 +342,10 @@ def render_video_sharded(config: SceneConfig) -> None:
     pending = [f for f in range(config.n_frames) if f not in completed]
     # Pad the final batch by repeating the last frame (discarded on write).
     n_batches = (len(pending) + batch - 1) // batch
-    try:
+    # The with-block covers everything through finalize: an exception
+    # ANYWHERE in it (batch loop, PNG drain, progress write) discards
+    # the partial video via __exit__.
+    with assembler:
         for b in range(n_batches):
             chunk = pending[b * batch : (b + 1) * batch]
             idx = chunk + [chunk[-1]] * (batch - len(chunk))
@@ -374,15 +377,13 @@ def render_video_sharded(config: SceneConfig) -> None:
                 print(f"batch {b + 1}/{n_batches} "
                       f"done {done}/{config.n_frames} "
                       f"({rate:.2f} frames/s)")
-    except BaseException:
-        assembler.discard()
-        raise
-    writer.close()
+        writer.close()
 
-    print(f"All frames rendered in {(time.time() - total_t0) / 60:.1f} min")
-    if assembler.finalize():
-        print(f"Video saved: {output_path}")
-        return
-    from ..modes import _assemble_video
+        print(f"All frames rendered in "
+              f"{(time.time() - total_t0) / 60:.1f} min")
+        if assembler.finalize():
+            print(f"Video saved: {output_path}")
+            return
+        from ..modes import _assemble_video
 
-    _assemble_video(temp_dir, output_path, config.n_frames, config.fps)
+        _assemble_video(temp_dir, output_path, config.n_frames, config.fps)

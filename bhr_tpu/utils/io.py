@@ -234,6 +234,11 @@ def write_mjpeg_avi(
         fh.write(pack_strh(max_size))
 
 
+# Containers the native H.264 writer handles; shared by the inline
+# assembler and the post-pass native path so they can never disagree.
+H264_CONTAINER_EXTS = (".mp4", ".mkv", ".mov")
+
+
 class IncrementalH264Assembler:
     """Encode the orbit video WHILE frames render, from RAM.
 
@@ -259,9 +264,12 @@ class IncrementalH264Assembler:
 
     Frames are quantized with the same ``quantize_frame`` as the PNG
     writer, so the inline video is pixel-identical to a post-pass one.
-    """
 
-    _EXTS = (".mp4", ".mkv", ".mov")
+    Use as a context manager around the whole render-and-finalize
+    region: ``__exit__`` discards on any in-flight exception (including
+    those raised after the frame loop, e.g. a failed PNG drain), so no
+    partial file can survive at the advertised path.
+    """
 
     def __init__(self, output_path: str, n_frames: int, fps: int,
                  temp_dir: str):
@@ -271,7 +279,12 @@ class IncrementalH264Assembler:
         self._dir = temp_dir
         self._writer = None
         self._next = 0
-        self._dead = os.path.splitext(output_path)[1].lower() not in self._EXTS
+        # True once this session touched the file at output_path —
+        # discard() must never delete a pre-existing video this run
+        # never wrote (e.g. inert assembler + Ctrl-C).
+        self._opened = False
+        ext = os.path.splitext(output_path)[1].lower()
+        self._dead = ext not in H264_CONTAINER_EXTS
         if not self._dead:
             try:
                 from bhr_tpu import native
@@ -285,7 +298,13 @@ class IncrementalH264Assembler:
             from bhr_tpu import native
 
             h, w = rgb.shape[:2]
+            if (h % 2) or (w % 2):
+                # Check before touching the filesystem: an inert-able
+                # condition must not mark the output file as ours.
+                raise ValueError(f"odd dimensions {w}x{h} for yuv420p")
             os.makedirs(os.path.dirname(self._path) or ".", exist_ok=True)
+            # From here the native open may create/truncate the file.
+            self._opened = True
             self._writer = native.H264Writer(self._path, w, h, self._fps)
         self._writer.write(rgb)
         self._next += 1
@@ -309,7 +328,8 @@ class IncrementalH264Assembler:
         try:
             self._catch_up(frame_idx)
             self._encode(quantize_frame(np.asarray(image)))
-        except Exception:
+        except Exception as exc:
+            self._report_fallback(exc)
             self.discard()
 
     def finalize(self) -> bool:
@@ -325,13 +345,23 @@ class IncrementalH264Assembler:
             writer.close()
             self._dead = True
             return True
-        except Exception:
+        except Exception as exc:
+            self._report_fallback(exc)
             self.discard()
             return False
 
+    def _report_fallback(self, exc: Exception) -> None:
+        """One diagnostic line when inline assembly dies — without it
+        the silent post-pass fallback would be undebuggable."""
+        if not self._dead:
+            print(f"inline H.264 assembly failed at frame {self._next} "
+                  f"({exc!r}); the post-pass assembler will run instead")
+
     def discard(self) -> None:
-        """Abort without a trailer and remove the partial file. Safe to
-        call at any point (idempotent); the PNG frames are untouched."""
+        """Abort without a trailer and, if THIS session wrote to the
+        output path, remove the partial file (a pre-existing video from
+        an earlier completed run is never deleted). Idempotent; the PNG
+        frames are untouched."""
         if self._writer is not None:
             writer, self._writer = self._writer, None
             try:
@@ -339,7 +369,16 @@ class IncrementalH264Assembler:
             except Exception:
                 pass
         self._dead = True
-        try:
-            os.remove(self._path)
-        except OSError:
-            pass
+        if self._opened:
+            self._opened = False
+            try:
+                os.remove(self._path)
+            except OSError:
+                pass
+
+    def __enter__(self) -> "IncrementalH264Assembler":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is not None:
+            self.discard()

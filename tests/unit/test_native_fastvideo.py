@@ -232,6 +232,55 @@ def test_incremental_assembler_failure_goes_inert(tmp_path):
 
 
 @needs_video
+def test_discard_never_deletes_preexisting_video(tmp_path, monkeypatch):
+    """A Ctrl-C on a run whose assembler never wrote the output file
+    (native unavailable, or interrupted before frame 0) must not
+    delete a complete video from an earlier run."""
+    from bhr_tpu.utils.io import IncrementalH264Assembler
+
+    out = str(tmp_path / "v.mp4")
+    with open(out, "wb") as f:
+        f.write(b"precious previous render")
+
+    # Case 1: inert from birth (native disabled).
+    monkeypatch.setenv("BHR_TPU_NATIVE", "0")
+    asm = IncrementalH264Assembler(out, 3, fps=4, temp_dir=str(tmp_path))
+    asm.discard()
+    monkeypatch.delenv("BHR_TPU_NATIVE")
+    assert open(out, "rb").read() == b"precious previous render"
+
+    # Case 2: available but interrupted before any frame was encoded.
+    asm = IncrementalH264Assembler(out, 3, fps=4, temp_dir=str(tmp_path))
+    with pytest.raises(RuntimeError):
+        with asm:
+            raise RuntimeError("interrupt before frame 0")
+    assert open(out, "rb").read() == b"precious previous render"
+
+    # Case 3: odd-dimension frames go inert without touching the file.
+    asm = IncrementalH264Assembler(out, 3, fps=4, temp_dir=str(tmp_path))
+    asm.submit(0, _gradient_frames(1, 47, 63)[0])
+    assert not asm.finalize()
+    assert open(out, "rb").read() == b"precious previous render"
+
+
+@needs_video
+def test_context_manager_discards_after_loop_errors(tmp_path):
+    """An exception AFTER the frame loop (e.g. a failed PNG drain) must
+    still discard the in-flight video via __exit__."""
+    from bhr_tpu.utils.io import IncrementalH264Assembler
+
+    out = str(tmp_path / "v.mp4")
+    frames = _gradient_frames(3, 48, 64)
+    with pytest.raises(OSError):
+        with IncrementalH264Assembler(out, 3, fps=4,
+                                      temp_dir=str(tmp_path)) as asm:
+            for i, f in enumerate(frames):
+                asm.submit(i, f)
+            raise OSError("disk full while draining PNGs")
+    assert not os.path.exists(out)
+
+
+@needs_video
 def test_incremental_assembler_non_mp4_inert(tmp_path):
     from bhr_tpu.utils.io import IncrementalH264Assembler
 
