@@ -234,14 +234,48 @@ def load_or_generate_skybox(
     tex_h: int = 1024,
     n_stars: int = 6000,
     seed: int = 42,
+    cache_dir: str = "output/.skybox_cache",
 ) -> Tuple[np.ndarray, int, int]:
-    """Load an external equirectangular texture or generate one."""
+    """Load an external equirectangular texture or generate one.
+
+    Procedural generation is deterministic in (size, seed, n_stars), so
+    the result is cached as .npy keyed by exactly those parameters —
+    generation costs ~6 s of host time on every startup otherwise (the
+    reference regenerates each run, render.py:344-368; the cache
+    follows the repo's disk-texture cache pattern). Delete the cache
+    dir or pass cache_dir=None to force regeneration.
+    """
     if skybox_path and os.path.isfile(skybox_path):
         from PIL import Image
 
         img = Image.open(skybox_path).convert("RGB")
         texture = np.asarray(img, dtype=np.float32) / 255.0
         tex_h, tex_w = texture.shape[:2]
-    else:
-        texture = generate_skybox(tex_w=tex_w, tex_h=tex_h, seed=seed, n_stars=n_stars)
+        return texture, tex_h, tex_w
+
+    cache_path = None
+    if cache_dir:
+        key = f"skybox_{tex_w}x{tex_h}_{seed}_{n_stars}.npy"
+        cache_path = os.path.join(cache_dir, key)
+        if os.path.isfile(cache_path):
+            try:
+                texture = np.load(cache_path)
+                if texture.shape == (tex_h, tex_w, 3):
+                    return texture, tex_h, tex_w
+            except Exception:
+                pass  # corrupt cache entry: fall through and regenerate
+
+    texture = generate_skybox(tex_w=tex_w, tex_h=tex_h, seed=seed,
+                              n_stars=n_stars)
+    if cache_path:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache_path + ".tmp"
+        try:
+            # Temp + replace: concurrent starts (sharded video workers,
+            # parallel tests) must never load a half-written entry.
+            with open(tmp, "wb") as f:
+                np.save(f, texture)
+            os.replace(tmp, cache_path)
+        except OSError:
+            pass  # read-only output dir: cache is best-effort
     return texture, tex_h, tex_w

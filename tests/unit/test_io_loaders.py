@@ -4,6 +4,8 @@ Reference parity: load_disk_texture + compute_edge_alpha
 (render.py:420-459) and load_or_generate_skybox (render.py:344-413).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -54,10 +56,38 @@ def test_load_external_skybox(png_assets):
 
 
 def test_generate_when_no_path(tmp_path):
+    cache = str(tmp_path / "cache")
     tex, h, w = load_or_generate_skybox(None, tex_w=128, tex_h=64,
-                                        n_stars=50, seed=1)
+                                        n_stars=50, seed=1, cache_dir=cache)
     assert tex.shape == (64, 128, 3)
     assert tex.max() > 0
+    # Second call must hit the .npy cache and return identical pixels.
+    assert os.path.isfile(
+        os.path.join(cache, "skybox_128x64_1_50.npy"))
+    tex2, _, _ = load_or_generate_skybox(None, tex_w=128, tex_h=64,
+                                         n_stars=50, seed=1, cache_dir=cache)
+    assert np.array_equal(tex, tex2)
+    # A different seed keys a different entry (no false hit).
+    tex3, _, _ = load_or_generate_skybox(None, tex_w=128, tex_h=64,
+                                         n_stars=50, seed=2, cache_dir=cache)
+    assert not np.array_equal(tex, tex3)
+
+
+def test_skybox_cache_corrupt_entry_regenerates(tmp_path):
+    cache = str(tmp_path / "cache")
+    os.makedirs(cache)
+    with open(os.path.join(cache, "skybox_128x64_1_50.npy"), "wb") as f:
+        f.write(b"not an npy file")
+    tex, _, _ = load_or_generate_skybox(None, tex_w=128, tex_h=64,
+                                        n_stars=50, seed=1, cache_dir=cache)
+    assert tex.shape == (64, 128, 3)
+    assert tex.max() > 0
+
+
+def test_skybox_cache_disabled(tmp_path):
+    tex, _, _ = load_or_generate_skybox(None, tex_w=128, tex_h=64,
+                                        n_stars=50, seed=1, cache_dir=None)
+    assert tex.shape == (64, 128, 3)
 
 
 def test_edge_alpha_profile():
