@@ -77,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="total orbit sweep (negative = reverse)")
     p.add_argument("--n_frames", type=int, default=3600)
     p.add_argument("--fps", type=int, default=36)
+    p.add_argument("--video_crf", type=int, default=18,
+                   help="H.264 quality (x264 CRF, 0=lossless..51; "
+                        "default 18 ~ visually lossless)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--disk_rotation_algorithm", type=str, default="baseline",
                    choices=["baseline", "parametric", "keyframes"],
@@ -127,6 +130,7 @@ def config_from_args(args: argparse.Namespace) -> SceneConfig:
         orbit_degrees=args.orbit_degrees,
         n_frames=args.n_frames,
         fps=args.fps,
+        video_crf=args.video_crf,
         resume=args.resume,
         disk_rotation_speed=args.disk_rotation_speed,
         seed=args.seed,

@@ -66,6 +66,10 @@ class SceneConfig:
     orbit_degrees: float = 360.0
     n_frames: int = 3600
     fps: int = 36
+    # H.264 quality for assembled videos (x264 CRF: 0 lossless ..
+    # 51 worst; 18 ~ visually lossless). Used by the native writer;
+    # the pyav/ffmpeg fallbacks keep their own defaults.
+    video_crf: int = 18
     resume: bool = False
     output: str = "output/blackhole.png"
 
@@ -125,6 +129,9 @@ class SceneConfig:
             raise ValueError(f"n_frames must be positive, got {self.n_frames}")
         if self.fps <= 0:
             raise ValueError(f"fps must be positive, got {self.fps}")
+        if not (0 <= self.video_crf <= 51):
+            raise ValueError(
+                f"video_crf must be in [0, 51], got {self.video_crf}")
         if not math.isfinite(self.orbit_degrees):
             raise ValueError(f"orbit_degrees must be finite, got {self.orbit_degrees}")
         if self.anti_alias not in ("disabled", "lod_radius"):

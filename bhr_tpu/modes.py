@@ -262,7 +262,8 @@ def render_video(config: SceneConfig,
     # uninterrupted run the post-pass (which would re-decode every PNG)
     # never runs. Any failure just falls back to _assemble_video.
     assembler = IncrementalH264Assembler(
-        output_path, config.n_frames, config.fps, temp_dir
+        output_path, config.n_frames, config.fps, temp_dir,
+        crf=config.video_crf,
     )
     total_t0 = time.time()
 
@@ -291,7 +292,7 @@ def render_video(config: SceneConfig,
             print(f"Video saved: {output_path}")
         else:
             _assemble_video(temp_dir, output_path, config.n_frames,
-                            config.fps)
+                            config.fps, crf=config.video_crf)
 
 
 def _render_video_frames(config, temp_dir, renderer, dynamic, writer,
@@ -346,10 +347,10 @@ def _render_video_frames(config, temp_dir, renderer, dynamic, writer,
 
 
 def _assemble_video(temp_dir: str, output_path: str, n_frames: int,
-                    fps: int) -> None:
+                    fps: int, crf: int = 18) -> None:
     """H.264 assembly: native libavcodec writer, then imageio/pyav,
     then the ffmpeg CLI, then the dependency-free MJPEG AVI."""
-    if _assemble_video_native(temp_dir, output_path, n_frames, fps):
+    if _assemble_video_native(temp_dir, output_path, n_frames, fps, crf):
         return
     writer = None
     try:
@@ -383,7 +384,7 @@ def _assemble_video(temp_dir: str, output_path: str, n_frames: int,
         cmd = [
             "ffmpeg", "-y", "-framerate", str(fps),
             "-i", os.path.join(temp_dir, "frame_%04d.png"),
-            "-c:v", "libx264", "-crf", "18", "-pix_fmt", "yuv420p",
+            "-c:v", "libx264", "-crf", str(crf), "-pix_fmt", "yuv420p",
             output_path,
         ]
         if subprocess.run(cmd, capture_output=True).returncode == 0:
@@ -416,7 +417,7 @@ def _assemble_video(temp_dir: str, output_path: str, n_frames: int,
 
 
 def _assemble_video_native(temp_dir: str, output_path: str, n_frames: int,
-                           fps: int) -> bool:
+                           fps: int, crf: int = 18) -> bool:
     """H.264/MP4 assembly via the native libavcodec writer
     (bhr_tpu/native/fastvideo.cpp). True on success; False means "try
     the next assembler" (unavailable codec, odd frame dimensions, a
@@ -437,7 +438,8 @@ def _assemble_video_native(temp_dir: str, output_path: str, n_frames: int,
         )
         height, width = first.shape[:2]
         os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
-        with native.H264Writer(output_path, width, height, fps) as writer:
+        with native.H264Writer(output_path, width, height, fps,
+                               crf=crf) as writer:
             writer.write(first)
             for frame in range(1, n_frames):
                 writer.write(np.asarray(

@@ -336,7 +336,8 @@ def render_video_sharded(config: SceneConfig) -> None:
     # fed to the native encoder as it lands; on an uninterrupted run
     # the post-pass (a full-video PNG re-decode) never executes.
     assembler = IncrementalH264Assembler(
-        output_path, config.n_frames, config.fps, temp_dir
+        output_path, config.n_frames, config.fps, temp_dir,
+        crf=config.video_crf,
     )
     total_t0 = time.time()
     pending = [f for f in range(config.n_frames) if f not in completed]
@@ -386,4 +387,5 @@ def render_video_sharded(config: SceneConfig) -> None:
             return
         from ..modes import _assemble_video
 
-        _assemble_video(temp_dir, output_path, config.n_frames, config.fps)
+        _assemble_video(temp_dir, output_path, config.n_frames, config.fps,
+                        crf=config.video_crf)

@@ -272,10 +272,11 @@ class IncrementalH264Assembler:
     """
 
     def __init__(self, output_path: str, n_frames: int, fps: int,
-                 temp_dir: str):
+                 temp_dir: str, crf: int = 18):
         self._path = output_path
         self._n = n_frames
         self._fps = fps
+        self._crf = crf
         self._dir = temp_dir
         self._writer = None
         self._next = 0
@@ -305,7 +306,8 @@ class IncrementalH264Assembler:
             os.makedirs(os.path.dirname(self._path) or ".", exist_ok=True)
             # From here the native open may create/truncate the file.
             self._opened = True
-            self._writer = native.H264Writer(self._path, w, h, self._fps)
+            self._writer = native.H264Writer(self._path, w, h, self._fps,
+                                             crf=self._crf)
         self._writer.write(rgb)
         self._next += 1
 

@@ -281,6 +281,27 @@ def test_context_manager_discards_after_loop_errors(tmp_path):
 
 
 @needs_video
+def test_crf_controls_file_size(tmp_path):
+    """--video_crf must reach the encoder: a much higher CRF yields a
+    clearly smaller file for identical frames."""
+    from bhr_tpu.utils.io import IncrementalH264Assembler
+
+    temp_dir = str(tmp_path / "frames")
+    os.makedirs(temp_dir)
+    frames = _gradient_frames(8, 64, 96)
+    sizes = {}
+    for crf in (10, 40):
+        out = str(tmp_path / f"v{crf}.mp4")
+        asm = IncrementalH264Assembler(out, 8, fps=8, temp_dir=temp_dir,
+                                       crf=crf)
+        for i, f in enumerate(frames):
+            asm.submit(i, f)
+        assert asm.finalize()
+        sizes[crf] = os.path.getsize(out)
+    assert sizes[10] > sizes[40] * 1.5, sizes
+
+
+@needs_video
 def test_incremental_assembler_non_mp4_inert(tmp_path):
     from bhr_tpu.utils.io import IncrementalH264Assembler
 
