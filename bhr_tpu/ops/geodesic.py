@@ -190,7 +190,10 @@ def trace_geodesics(
     dtype = directions.dtype
     tan_t = jnp.tan(jnp.deg2rad(jnp.asarray(tilt_deg, dtype)))
     max_affine = r_escape * 40.0
-    max_iter = int(r_escape * 40.0 / h_base)
+    # Derived from max_affine so the iteration budget and the affine
+    # cap can never desynchronize (rays frozen as neither captured nor
+    # escaped would render black with no error).
+    max_iter = int(max_affine / h_base)
 
     pos0 = jnp.broadcast_to(origin.astype(dtype), (n, 3))
     l2 = jnp.sum(jnp.cross(directions, pos0) ** 2, axis=-1)
@@ -247,12 +250,16 @@ def trace_geodesics(
             nd_pos_dx, nd_dir_dx = s["d_pos_dx"], s["d_dir_dx"]
             nd_pos_dy, nd_dir_dy = s["d_pos_dy"], s["d_dir_dy"]
 
-        r_new = jnp.linalg.norm(new_pos, axis=-1)
+        # r^2-space comparisons, in lockstep with the Pallas kernel
+        # (x*x + y*y + z*z vs rs^2 / r_escape^2): tests assert the two
+        # backends' captured/escaped/hit_count match EXACTLY, and a
+        # sqrt here could flip a boundary-adjacent ray by one ulp.
+        r2_new = jnp.sum(new_pos * new_pos, axis=-1)
         affine_new = s["affine"] + h
 
-        captured_now = active & (r_new < rs)
+        captured_now = active & (r2_new < rs * rs)
         escaped_now = active & ~captured_now & (
-            (r_new > r_escape) | (affine_new > max_affine)
+            (r2_new > r_escape * r_escape) | (affine_new > max_affine)
         )
         terminated = captured_now | escaped_now
         survive = active & ~terminated
@@ -274,10 +281,12 @@ def trace_geodesics(
             t_frac = f_old / (f_old - f_new + 1e-8)
             hit_x = pos[:, 0] + t_frac * (new_pos[:, 0] - pos[:, 0])
             hit_y = pos[:, 1] + t_frac * (new_pos[:, 1] - pos[:, 1])
-            hit_r = jnp.sqrt(hit_x**2 + hit_y**2)
-            record = crossing & (hit_r >= r_inner) & (hit_r <= r_outer) & (
-                hit_count < max_crossings
-            )
+            # r^2-space annulus test, matching the Pallas kernel's
+            # hr2 = hx*hx + hy*hy form exactly (see note above).
+            hit_r2 = hit_x * hit_x + hit_y * hit_y
+            record = crossing & (hit_r2 >= r_inner * r_inner) & (
+                hit_r2 <= r_outer * r_outer
+            ) & (hit_count < max_crossings)
 
             tf = t_frac[:, None]
             # Within-step lerp of the differentials — a DELIBERATE

@@ -92,10 +92,12 @@ def build_ray_march_kernel(
         exit_check_every = 1 if interpret else 8
     tan_t = float(np.tan(np.deg2rad(tilt_deg)))
     max_affine = r_escape * 40.0
+    # Derived from max_affine so the iteration budget and the affine
+    # cap can never desynchronize (same coupling as ops/geodesic.py).
     max_iter = (
         int(max_iter_override)
         if max_iter_override is not None
-        else int(r_escape * 40.0 / h_base)
+        else int(max_affine / h_base)
     )
     k_slots = max_crossings
     n_feat = HIT_FEATURES if with_differentials else 5
@@ -330,19 +332,20 @@ def build_ray_march_kernel(
                     & (hit_count < k_slots)
                 )
 
-                (odpx, odpy, odpz) = s[2]
-                (odqx, odqy, odqz) = s[4]
-                # Within-step differential lerp: deliberate deviation
-                # from the reference's end-of-step commit — must stay
-                # in lockstep with ops/geodesic.py (PARITY.md dev. 3).
-                hdx = odpx + t_frac * (ndp_dx[0] - odpx)
-                hdy = odpy + t_frac * (ndp_dx[1] - odpy)
-                hdz = odpz + t_frac * (ndp_dx[2] - odpz)
-                hqx = odqx + t_frac * (ndp_dy[0] - odqx)
-                hqy = odqy + t_frac * (ndp_dy[1] - odqy)
-                hqz = odqz + t_frac * (ndp_dy[2] - odqz)
-
                 if with_differentials:
+                    (odpx, odpy, odpz) = s[2]
+                    (odqx, odqy, odqz) = s[4]
+                    # Within-step differential lerp: deliberate
+                    # deviation from the reference's end-of-step commit
+                    # — must stay in lockstep with ops/geodesic.py
+                    # (PARITY.md dev. 3). Inside the branch so the slim
+                    # path never traces six dead lerp planes.
+                    hdx = odpx + t_frac * (ndp_dx[0] - odpx)
+                    hdy = odpy + t_frac * (ndp_dx[1] - odpy)
+                    hdz = odpz + t_frac * (ndp_dx[2] - odpz)
+                    hqx = odqx + t_frac * (ndp_dy[0] - odqx)
+                    hqy = odqy + t_frac * (ndp_dy[1] - odqy)
+                    hqz = odqz + t_frac * (ndp_dy[2] - odqz)
                     feat_list = [hx, hy, vx, vy, vz, hdx, hdy, hdz,
                                  hqx, hqy, hqz, t_frac]
                 else:
