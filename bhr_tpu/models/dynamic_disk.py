@@ -24,7 +24,9 @@ import numpy as np
 from ..constants import DISK_COLOR_TEMPERATURE
 from ..ops.background import generate_background_components
 from ..utils.io import compute_edge_alpha
-from .disk_texture import compose_from_components, keplerian_omega
+from .disk_texture import compose_from_components
+from .disk_texture import density_from_comp, temp_struct_from_comp
+from ..ops.stats import approx_quantile, approx_quantile_rows
 from .lifecycle import (
     MAX_HOTSPOTS,
     MAX_RT_SPIKES,
@@ -32,6 +34,7 @@ from .lifecycle import (
     make_factories,
     pack_filaments,
     pack_timer_entities,
+    radial_omega_rows,
 )
 
 
@@ -96,9 +99,6 @@ def _recompute_stats(comp, edge, enable_rt: bool = True):
     jnp.percentile would sort ~1.2M texels per frame, which dominated
     the dynamic-texture step on TPU.
     """
-    from ..ops.stats import approx_quantile, approx_quantile_rows
-    from .disk_texture import density_from_comp, temp_struct_from_comp
-
     density = density_from_comp(comp, edge, enable_rt)
     density_p98 = jnp.maximum(approx_quantile(density, 0.98), 0.01)
 
@@ -170,13 +170,14 @@ class DynamicDiskSystem:
         self.az_freq = float(rng.integers(2, 5))
         self.az_shear = float(rng.uniform(2.0, 4.0))
 
-        self.factories: Dict = make_factories(n_r, n_phi, r_inner, r_outer, seed)
+        self.factories: Dict = make_factories(
+            n_r, r_inner, r_outer, seed, enable_rt=enable_rt
+        )
         for f in self.factories.values():
             f.seed_initial(now=0.0)
 
-        r_norm = np.linspace(0.0, 1.0, n_r)
-        r_vals = r_inner + (r_outer - r_inner) * r_norm
-        self.omega_rows = jnp.asarray(keplerian_omega(jnp.asarray(r_vals)))
+        r_norm, omega_np = radial_omega_rows(n_r, r_inner, r_outer)
+        self.omega_rows = jnp.asarray(omega_np)
         self.edge = jnp.asarray(compute_edge_alpha(n_r))
 
         # Initial permissive stats (reference init_background_layer,
@@ -199,10 +200,10 @@ class DynamicDiskSystem:
     def _pack(self, now: float):
         fil = jnp.asarray(pack_filaments(self.factories["filament"], now))
         hs = jnp.asarray(
-            pack_timer_entities(self.factories["hotspot"], now, MAX_HOTSPOTS, 0.0)
+            pack_timer_entities(self.factories["hotspot"], now, MAX_HOTSPOTS)
         )
         rt = jnp.asarray(
-            pack_timer_entities(self.factories["rt_spike"], now, MAX_RT_SPIKES, 1.0)
+            pack_timer_entities(self.factories["rt_spike"], now, MAX_RT_SPIKES)
         )
         return fil, hs, rt
 
@@ -234,11 +235,14 @@ class DynamicDiskSystem:
         )
         self.comp = comp
 
-        # Persisted stats always come from the FULL comp field, even while
-        # a component is soloed (reference recomputes from the live comp
-        # field regardless of the solo view, render.py:3655-3712) — solo
-        # stats below are display-local and never stored, so un-soloing
-        # can't resume with stale normalization.
+        # Persisted stats always come from the FULL comp field, even
+        # while a component is soloed; the solo stats below are
+        # display-local and never stored. DELIBERATE deviation: the
+        # reference's solo branch persists solo-derived stats into its
+        # stats fields (render.py:3745-3749), so for up to 59 frames
+        # after un-soloing it composes with solo normalization — here
+        # un-soloing resumes immediately with full-field stats
+        # (PARITY.md deviation 13).
         if recompute_stats:
             self.density_p98, self.struct_scale, self.row_stats = (
                 _recompute_stats(comp, self.edge, self.enable_rt)
@@ -285,13 +289,13 @@ class DynamicDiskSystem:
 
     def _solo_comp(self, comp: jnp.ndarray, solo_idx: int) -> jnp.ndarray:
         """Zero all components except the soloed density/temp pair;
-        disturb_mod becomes the neutral multiplier 1."""
+        disturb_mod becomes the neutral multiplier 1. One fused masked
+        select (this runs every frame while a solo view is held)."""
         keep = {solo_idx} | set(_SOLO_PAIRS.get(solo_idx, []))
-        for i in range(13):
-            if i in keep:
-                continue
-            if i == 12:
-                comp = comp.at[12].set(jnp.ones_like(comp[12]))
-            else:
-                comp = comp.at[i].set(jnp.zeros_like(comp[i]))
-        return comp
+        mask = jnp.asarray(
+            [i in keep for i in range(13)], bool
+        )[:, None, None]
+        # Non-kept slices drop to 0, except disturb_mod (slice 12)
+        # whose neutral value is 1.
+        fill = jnp.zeros((13,), comp.dtype).at[12].set(1.0)[:, None, None]
+        return jnp.where(mask, comp, fill)

@@ -245,14 +245,29 @@ class EntityFactory:
         return self.entities
 
 
-def make_factories(n_r: int, n_phi: int, r_inner: float, r_outer: float,
-                   seed: int = 42) -> Dict[str, EntityFactory]:
-    """Standard factory set: 200 filaments, 30 hotspots, 15 RT spikes."""
+def radial_omega_rows(n_r: int, r_inner: float, r_outer: float):
+    """(r_norm, omega_rows) on the texture's radial grid — the ONE
+    source for entity spawn omegas and device advection omegas (three
+    sites used to inline this recipe; a dtype or formula drift between
+    them would desynchronize entity phases across engines)."""
     r_norm = np.linspace(0.0, 1.0, n_r)
     r_vals = r_inner + (r_outer - r_inner) * r_norm
     omega_rows = np.asarray(
         keplerian_omega(jnp.asarray(r_vals, jnp.float32))
     ).astype(np.float32)
+    return r_norm, omega_rows
+
+
+def make_factories(n_r: int, r_inner: float, r_outer: float,
+                   seed: int = 42,
+                   enable_rt: bool = True) -> Dict[str, EntityFactory]:
+    """Standard factory set: 200 filaments, 30 hotspots, 15 RT spikes.
+
+    ``enable_rt=False`` sets the RT-spike target count to zero (no
+    seeding, no spawn debt), so the RT comp planes stay exactly zero —
+    the same meaning "RT disabled" has in the parametric/static path
+    (reference generate_disk_texture's enable_rt)."""
+    r_norm, omega_rows = radial_omega_rows(n_r, r_inner, r_outer)
     return {
         "filament": EntityFactory(
             spawn_filament, 200, (15.0, 60.0), r_norm, omega_rows, seed + 100
@@ -261,7 +276,8 @@ def make_factories(n_r: int, n_phi: int, r_inner: float, r_outer: float,
             spawn_hotspot, 30, (15.0, 30.0), r_norm, omega_rows, seed + 200
         ),
         "rt_spike": EntityFactory(
-            spawn_rt_spike, 15, (15.0, 30.0), r_norm, omega_rows, seed + 300
+            spawn_rt_spike, 15 if enable_rt else 0, (15.0, 30.0), r_norm,
+            omega_rows, seed + 300
         ),
     }
 
@@ -271,7 +287,7 @@ def make_factories(n_r: int, n_phi: int, r_inner: float, r_outer: float,
 # ---------------------------------------------------------------------------
 
 _FIL_PARAMS = 8   # phi_center, base_r, sigma_r, sigma_phi_t, amp_d, amp_t, age, _
-_TIMER_PARAMS = 8  # phi_center, phi_width, r_center, r_w_or_len, amp_d, amp_t, age, kind
+_TIMER_PARAMS = 8  # phi_center, phi_width, r_center, r_w_or_len, amp_d, amp_t, age, pad
 
 
 def pack_filaments(factory: EntityFactory, now: float) -> np.ndarray:
@@ -304,9 +320,12 @@ def pack_filaments(factory: EntityFactory, now: float) -> np.ndarray:
     return out
 
 
-def pack_timer_entities(factory: EntityFactory, now: float, max_count: int,
-                        kind: float) -> np.ndarray:
-    """(max_count, 8) rows for hotspot (kind=0) / rt_spike (kind=1)."""
+def pack_timer_entities(factory: EntityFactory, now: float,
+                        max_count: int) -> np.ndarray:
+    """(max_count, 8) rows for hotspot / rt_spike entities. The profile
+    shape (hotspot Gaussian vs RT radial finger) is selected by the
+    static is_rt flag in accumulate_entity_layer, not per row; slot 7
+    is padding kept for the fixed 8-float row layout."""
     out = np.zeros((max_count, _TIMER_PARAMS), np.float32)
     i = 0
     for e in factory.alive_entities:
@@ -319,7 +338,7 @@ def pack_timer_entities(factory: EntityFactory, now: float, max_count: int,
         amp = e.intensity * alpha
         r_scale = e.r_width if e.entity_type == "hotspot" else e.r_length
         out[i] = (e.phi_center, e.phi_width, e.r_center, max(r_scale, 1e-6),
-                  amp, amp * e.delta_t, age, kind)
+                  amp, amp * e.delta_t, age, 0.0)
         i += 1
     return out
 
@@ -354,7 +373,13 @@ def accumulate_entity_layer(
     resolutions, so the interpolation error is far below the profiles'
     own smoothness.
     """
-    n_phi_lo = n_phi // phi_scale if n_phi % phi_scale == 0 else n_phi
+    if n_phi % phi_scale:
+        # Same fail-fast contract as _validate_scale / the background
+        # generator: a silent full-res fallback would give this one
+        # path different cost and values for the same bad input.
+        raise ValueError(
+            f"phi_scale={phi_scale} must divide n_phi={n_phi}")
+    n_phi_lo = n_phi // phi_scale
     phi = jnp.linspace(0.0, 2.0 * jnp.pi, n_phi_lo, endpoint=False)
     r_norm = jnp.linspace(0.0, 1.0, n_r)
     two_pi = 2.0 * jnp.pi

@@ -38,7 +38,7 @@ from ..config import (
     scene_escape_radius,
 )
 from ..constants import MAX_DISK_CROSSINGS
-from ..models.disk_texture import compose_from_components, keplerian_omega
+from ..models.disk_texture import compose_from_components
 from ..models.dynamic_disk import (
     DynamicDiskSystem,
     _recompute_stats,
@@ -81,9 +81,9 @@ def pack_frame_params(
             fac.tick(now=t, dt=dt)
         fils.append(pack_filaments(dynamic.factories["filament"], t))
         hss.append(pack_timer_entities(dynamic.factories["hotspot"], t,
-                                       MAX_HOTSPOTS, 0.0))
+                                       MAX_HOTSPOTS))
         rts.append(pack_timer_entities(dynamic.factories["rt_spike"], t,
-                                       MAX_RT_SPIKES, 1.0))
+                                       MAX_RT_SPIKES))
     return (np.stack(fils), np.stack(hss), np.stack(rts))
 
 
@@ -122,13 +122,14 @@ def build_sharded_video_renderer(
     if tex_dtype is None:
         tex_dtype = production_tex_dtype()
 
-    r_norm = np.linspace(0.0, 1.0, n_r)
-    r_vals = cfg.disk_inner_radius + (
-        cfg.disk_outer_radius - cfg.disk_inner_radius
-    ) * r_norm
-    # Same helper + dtype path as DynamicDiskSystem so entity phases
-    # are bit-identical across the sequential and sharded engines.
-    omega_rows = jnp.asarray(keplerian_omega(jnp.asarray(r_vals)))
+    # The shared radial/omega helper guarantees entity phases are
+    # bit-identical across the sequential and sharded engines.
+    from ..models.lifecycle import radial_omega_rows
+
+    _, omega_np = radial_omega_rows(
+        n_r, float(cfg.disk_inner_radius), float(cfg.disk_outer_radius)
+    )
+    omega_rows = jnp.asarray(omega_np)
     from ..utils.io import compute_edge_alpha
 
     edge = jnp.asarray(compute_edge_alpha(n_r))

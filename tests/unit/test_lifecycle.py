@@ -3,6 +3,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bhr_tpu.constants import (
     FILAMENT_DEATH_THRESHOLD,
@@ -73,7 +74,7 @@ def test_timer_fade_envelope():
 
 
 def test_factory_steady_state_counts():
-    factories = make_factories(32, 128, 2.0, 3.5, seed=42)
+    factories = make_factories(32, 2.0, 3.5, seed=42)
     for f in factories.values():
         f.seed_initial(0.0)
     total0 = sum(len(f.entities) for f in factories.values())
@@ -94,15 +95,15 @@ def test_factory_steady_state_counts():
 
 
 def test_accumulate_entity_layer_shapes_and_content():
-    factories = make_factories(32, 128, 2.0, 3.5, seed=1)
+    factories = make_factories(32, 2.0, 3.5, seed=1)
     for f in factories.values():
         f.seed_initial(0.0)
     now = 1.0
     for f in factories.values():
         f.tick(now, 1.0)
     fil = jnp.asarray(pack_filaments(factories["filament"], now))
-    hs = jnp.asarray(pack_timer_entities(factories["hotspot"], now, MAX_HOTSPOTS, 0.0))
-    rt = jnp.asarray(pack_timer_entities(factories["rt_spike"], now, MAX_RT_SPIKES, 1.0))
+    hs = jnp.asarray(pack_timer_entities(factories["hotspot"], now, MAX_HOTSPOTS))
+    rt = jnp.asarray(pack_timer_entities(factories["rt_spike"], now, MAX_RT_SPIKES))
     omega = jnp.asarray(factories["filament"].omega_rows)
     staging = np.asarray(accumulate_entity_layer(fil, hs, rt, omega, 32, 128))
     assert staging.shape == (6, 32, 128)
@@ -167,10 +168,10 @@ def test_entity_layer_phi_scale_close_to_full_res():
     dyn = DynamicDiskSystem(n_r, n_phi, 2.0, 3.5, seed=7)
     fil = jnp.asarray(pack_filaments(dyn.factories["filament"], 1.0))
     hs = jnp.asarray(
-        pack_timer_entities(dyn.factories["hotspot"], 1.0, MAX_HOTSPOTS, 0.0)
+        pack_timer_entities(dyn.factories["hotspot"], 1.0, MAX_HOTSPOTS)
     )
     rt = jnp.asarray(
-        pack_timer_entities(dyn.factories["rt_spike"], 1.0, MAX_RT_SPIKES, 1.0)
+        pack_timer_entities(dyn.factories["rt_spike"], 1.0, MAX_RT_SPIKES)
     )
     omega = dyn.omega_rows
 
@@ -214,8 +215,9 @@ def test_solo_persists_full_field_stats():
     """A stats recompute that lands while a component is soloed must
     persist stats from the FULL comp field (regression: the solo branch
     used to drop the recompute, leaving stale normalization after
-    un-soloing; the reference recomputes from the live comp field
-    regardless of the solo view, render.py:3655-3712)."""
+    un-soloing). Deliberate deviation from the reference, whose solo
+    branch persists the solo-derived stats for up to 59 frames
+    (render.py:3745-3749) — see PARITY.md deviation 13."""
     a = DynamicDiskSystem(32, 64, 2.0, 3.5, seed=3)
     b = DynamicDiskSystem(32, 64, 2.0, 3.5, seed=3)
     init_p98 = float(a.density_p98)
@@ -231,3 +233,42 @@ def test_solo_persists_full_field_stats():
     np.testing.assert_allclose(
         np.asarray(a.row_stats), np.asarray(b.row_stats), rtol=1e-6
     )
+
+
+def test_enable_rt_false_zeroes_rt_planes():
+    """RT disabled must mean what it means in the parametric path:
+    zero RT planes (no spawning at all), not just a zeroed density
+    weight — otherwise RT temperature structures still render through
+    temp_struct_from_comp."""
+    dyn = DynamicDiskSystem(32, 64, 2.0, 3.5, seed=7, enable_rt=False)
+    assert len(dyn.factories["rt_spike"].entities) == 0
+    dyn.advance(1.0, 1.0, recompute_stats=True)
+    dyn.advance(2.0, 1.0)
+    assert len(dyn.factories["rt_spike"].entities) == 0
+    comp = np.asarray(dyn.comp)
+    assert np.all(comp[7] == 0.0) and np.all(comp[8] == 0.0)
+    # Other entity planes still alive.
+    assert np.any(comp[5] > 0.0) or np.any(comp[9] > 0.0)
+
+
+def test_entity_layer_rejects_indivisible_phi_scale():
+    fil = jnp.zeros((4, 8), jnp.float32)
+    hs = jnp.zeros((4, 8), jnp.float32)
+    rt = jnp.zeros((4, 8), jnp.float32)
+    omega = jnp.ones((16,), jnp.float32)
+    with pytest.raises(ValueError, match="phi_scale"):
+        accumulate_entity_layer(fil, hs, rt, omega, 16, 63, phi_scale=2)
+
+
+def test_solo_comp_masked_select():
+    """Fused solo mask: kept pair intact, others zero, disturb_mod 1."""
+    dyn = DynamicDiskSystem(32, 64, 2.0, 3.5, seed=5)
+    dyn.advance(0.5, 0.5, recompute_stats=True)
+    comp = dyn.comp
+    solo = np.asarray(dyn._solo_comp(comp, 3))
+    full = np.asarray(comp)
+    np.testing.assert_array_equal(solo[3], full[3])
+    np.testing.assert_array_equal(solo[4], full[4])  # paired temp slice
+    assert np.all(solo[12] == 1.0)                   # neutral disturb
+    for i in (0, 1, 2, 5, 6, 7, 8, 9, 10, 11):
+        assert np.all(solo[i] == 0.0), i

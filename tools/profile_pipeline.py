@@ -57,10 +57,10 @@ def main() -> int:
     dyn = DynamicDiskSystem(n_r, n_phi, 2.0, 15.0, seed=42)
     fil = jnp.asarray(pack_filaments(dyn.factories["filament"], 0.0))
     hs = jnp.asarray(
-        pack_timer_entities(dyn.factories["hotspot"], 0.0, MAX_HOTSPOTS, 0.0)
+        pack_timer_entities(dyn.factories["hotspot"], 0.0, MAX_HOTSPOTS)
     )
     rt = jnp.asarray(
-        pack_timer_entities(dyn.factories["rt_spike"], 0.0, MAX_RT_SPIKES, 1.0)
+        pack_timer_entities(dyn.factories["rt_spike"], 0.0, MAX_RT_SPIKES)
     )
     from bhr_tpu.models.disk_texture import keplerian_omega
     from bhr_tpu.models.dynamic_disk import assemble_comp
