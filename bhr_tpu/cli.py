@@ -90,6 +90,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ignore_taichi_cache", action="store_true",
                    help="[deprecated] Taichi-specific; the XLA analogue "
                         "is --no_compile_cache (reference render.py:4560)")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="multi-host rendering: coordinator host:port for "
+                        "jax.distributed (run one process per host of a "
+                        "pod slice; frames shard over ALL hosts' chips "
+                        "with zero cross-host traffic)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="multi-host: total process count "
+                        "(with --coordinator_address)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="multi-host: this process's rank "
+                        "(with --coordinator_address)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax debug_nans (traps NaN/Inf in any "
@@ -149,6 +160,16 @@ def main(argv=None) -> int:
 
     if config.device != "auto":
         jax.config.update("jax_platforms", config.device)
+    if args.coordinator_address is not None:
+        # Must run before any other jax API initializes the backend;
+        # afterwards jax.devices() spans every host in the slice.
+        from .parallel.mesh import initialize_multihost
+
+        n = initialize_multihost(args.coordinator_address,
+                                 args.num_processes, args.process_id)
+        if jax.process_index() == 0:
+            print(f"multi-host: {n} processes, "
+                  f"{len(jax.devices())} devices total")
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if not args.no_compile_cache:

@@ -269,10 +269,12 @@ def load_or_generate_skybox(
                               n_stars=n_stars)
     if cache_path:
         os.makedirs(cache_dir, exist_ok=True)
-        tmp = cache_path + ".tmp"
+        tmp = f"{cache_path}.tmp.{os.getpid()}"
         try:
-            # Temp + replace: concurrent starts (sharded video workers,
-            # parallel tests) must never load a half-written entry.
+            # Temp + replace: concurrent starts (multi-host video
+            # processes, parallel tests) must never load a half-written
+            # entry; the pid suffix keeps simultaneous writers off each
+            # other's temp files.
             with open(tmp, "wb") as f:
                 np.save(f, texture)
             os.replace(tmp, cache_path)

@@ -227,6 +227,42 @@ def build_sharded_video_renderer(
     return jax.jit(sharded)
 
 
+def globalize_host_array(mesh: Mesh, spec, host_array) -> jnp.ndarray:
+    """Build a global jax.Array from host data every process holds.
+
+    Multi-controller jit rejects process-local arrays for inputs whose
+    sharding spans other hosts; since each process computes the full
+    host copy anyway (the lifecycle replay is deterministic), each just
+    donates the slices its local devices own.
+    """
+    from jax.sharding import NamedSharding
+
+    arr = np.asarray(host_array)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda index: arr[index]
+    )
+
+
+def _fetch_addressable_frames(out) -> list:
+    """[(position_in_batch, uint8 HWC frame)] for locally-held frames.
+
+    Single-process: every frame. Multi-host: each process can only
+    fetch the shards its own devices hold, and those are exactly the
+    frames it is responsible for writing.
+    """
+    if jax.process_count() == 1:
+        arr = np.asarray(jax.device_get(out))
+        return list(enumerate(arr))
+    by_pos = {}
+    for shard in out.addressable_shards:
+        start = shard.index[0].start or 0
+        data = np.asarray(shard.data)
+        for k in range(data.shape[0]):
+            by_pos.setdefault(start + k, data[k])
+    return sorted(by_pos.items())
+
+
 def render_video_frames_sharded(
     config: SceneConfig,
     mesh: Mesh,
@@ -237,16 +273,21 @@ def render_video_frames_sharded(
     all_hs: np.ndarray,
     all_rt: np.ndarray,
     renderer_fn=None,
-) -> Tuple[np.ndarray, object]:
-    """Render one batch of frames (len divisible by the frames axis)."""
+) -> Tuple[list, object]:
+    """Render one batch of frames (len divisible by the frames axis).
+
+    Returns ([(position_in_batch, uint8 frame)] for the frames this
+    process's devices hold — all of them on a single host — and the
+    compiled renderer for reuse).
+    """
     width, height = config.image_size
     # One camera-placement implementation for every engine: a drift
     # between this and the sequential path would break the cross-engine
     # frame identity the resume protocol depends on.
     cams = cameras_for_orbit(config, frame_indices, width, height)
-    cam_pack = jnp.asarray(pack_cameras(cams))
-    t_arr = jnp.asarray(
-        [f * config.disk_rotation_speed for f in frame_indices], jnp.float32
+    cam_np = np.asarray(pack_cameras(cams))
+    t_np = np.asarray(
+        [f * config.disk_rotation_speed for f in frame_indices], np.float32
     )
     idx = np.asarray(frame_indices)
     if renderer_fn is None:
@@ -257,12 +298,15 @@ def render_video_frames_sharded(
             az_shear=dynamic.az_shear,
             tex_dtype=production_tex_dtype(),
         )
-    out = renderer_fn(
-        skybox_q, cam_pack, t_arr,
-        jnp.asarray(all_fil[idx]), jnp.asarray(all_hs[idx]),
-        jnp.asarray(all_rt[idx]),
-    )
-    return np.asarray(jax.device_get(out)), renderer_fn
+    batch_args = (cam_np, t_np, all_fil[idx], all_hs[idx], all_rt[idx])
+    if jax.process_count() > 1:
+        batch_args = tuple(
+            globalize_host_array(mesh, P("frames"), a) for a in batch_args
+        )
+    else:
+        batch_args = tuple(jnp.asarray(a) for a in batch_args)
+    out = renderer_fn(skybox_q, *batch_args)
+    return _fetch_addressable_frames(out), renderer_fn
 
 
 def render_video_sharded(config: SceneConfig) -> None:
@@ -272,7 +316,16 @@ def render_video_sharded(config: SceneConfig) -> None:
     Batch size = frames_axis * frames_per_device; progress.json is
     updated after each completed batch, so interrupting loses at most
     one batch.
+
+    Multi-host (jax.process_count() > 1, via --coordinator_address):
+    frames shard over every host's chips with zero cross-host traffic
+    during rendering. Each process writes the PNGs its own devices
+    rendered; process 0 owns progress.json (written after a per-batch
+    barrier, so recorded frames are always on disk) and assembles the
+    final video from the shared frame directory — hosts must share the
+    output filesystem, the standard pod-slice arrangement.
     """
+    import json
     import os
     import time
 
@@ -286,10 +339,30 @@ def render_video_sharded(config: SceneConfig) -> None:
     from ..utils.io import AsyncPNGWriter, write_json_atomic
     from .mesh import make_frame_mesh
 
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+
+    def barrier(name: str) -> None:
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(name)
+
+    def say(msg: str) -> None:
+        if pid == 0:
+            print(msg)
+
     width, height = config.image_size
     devices = jax.devices()
     n_shards = config.frame_shards or len(devices)
     n_shards = min(n_shards, len(devices))
+    if n_proc > 1 and n_shards != len(devices):
+        # Every process must participate in the jitted program; a mesh
+        # that excludes some host's chips would strand that process.
+        raise ValueError(
+            f"multi-host video requires frame_shards == all devices "
+            f"({len(devices)}), got {n_shards}"
+        )
     mesh = make_frame_mesh(n_shards, 1, devices=devices[:n_shards])
     frames_per_device = 2 if n_shards > 1 else 4
     batch = n_shards * frames_per_device
@@ -298,7 +371,23 @@ def render_video_sharded(config: SceneConfig) -> None:
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     temp_dir, progress_file = video_temp_paths(output_path)
     params = video_resume_params(config, sharded=True)
-    completed, _ = load_video_progress(config, temp_dir, progress_file, params)
+    if pid == 0:
+        completed, _ = load_video_progress(
+            config, temp_dir, progress_file, params
+        )
+    else:
+        completed = set()
+    if n_proc > 1:
+        # Process 0 arbitrates resume-vs-wipe; the rest read the
+        # surviving progress file afterwards (empty after a wipe).
+        barrier("bhr-video-progress")
+        os.makedirs(temp_dir, exist_ok=True)
+        if pid != 0 and config.resume and os.path.isfile(progress_file):
+            try:
+                with open(progress_file) as f:
+                    completed = set(json.load(f).get("completed", []))
+            except (json.JSONDecodeError, OSError):
+                completed = set()
 
     skybox, _, _ = load_or_generate_skybox(
         config.texture, 2048, 1024, config.n_stars, seed=config.skybox_seed
@@ -307,6 +396,10 @@ def render_video_sharded(config: SceneConfig) -> None:
     skybox_q = jax.jit(lambda t: quantize_packed(pack_quad(t), tex_dtype))(
         jnp.asarray(skybox, jnp.float32)
     )
+    if n_proc > 1:
+        skybox_q = globalize_host_array(
+            mesh, P(), np.asarray(jax.device_get(skybox_q))
+        )
 
     n_phi, n_r = compute_disk_texture_resolution(
         width, height, config.pov, config.fov,
@@ -316,12 +409,12 @@ def render_video_sharded(config: SceneConfig) -> None:
         n_r, n_phi, config.disk_inner_radius, config.disk_outer_radius,
         seed=config.seed,
     )
-    print(f"Packing lifecycle params for {config.n_frames} frames...")
+    say(f"Packing lifecycle params for {config.n_frames} frames...")
     t0 = time.time()
     all_fil, all_hs, all_rt = pack_frame_params(
         dynamic, config.n_frames, config.disk_rotation_speed
     )
-    print(f"  packed in {time.time() - t0:.1f}s")
+    say(f"  packed in {time.time() - t0:.1f}s")
 
     r_escape = scene_escape_radius(config)
     renderer_fn = build_sharded_video_renderer(
@@ -330,15 +423,24 @@ def render_video_sharded(config: SceneConfig) -> None:
         tex_dtype=tex_dtype,
     )
 
+    import contextlib
+
     from ..utils.io import IncrementalH264Assembler
 
     writer = AsyncPNGWriter(max_workers=4, max_pending=8)
     # Inline H.264: frames leave the device in index order, so each is
     # fed to the native encoder as it lands; on an uninterrupted run
     # the post-pass (a full-video PNG re-decode) never executes.
-    assembler = IncrementalH264Assembler(
-        output_path, config.n_frames, config.fps, temp_dir,
-        crf=config.video_crf,
+    # Multi-host: no single process holds every frame in RAM, so the
+    # inline encoder is skipped and process 0 runs the post-pass from
+    # the shared frame directory instead.
+    assembler = (
+        IncrementalH264Assembler(
+            output_path, config.n_frames, config.fps, temp_dir,
+            crf=config.video_crf,
+        )
+        if n_proc == 1
+        else contextlib.nullcontext()
     )
     total_t0 = time.time()
     pending = [f for f in range(config.n_frames) if f not in completed]
@@ -355,38 +457,54 @@ def render_video_sharded(config: SceneConfig) -> None:
                 config, mesh, idx, skybox_q, dynamic,
                 all_fil, all_hs, all_rt, renderer_fn,
             )
-            for i, f in enumerate(chunk):
+            for pos, frame in frames:
+                if pos >= len(chunk):
+                    continue  # padding repeat of the last frame
+                f = chunk[pos]
                 writer.submit(
-                    frames[i], os.path.join(temp_dir, f"frame_{f:04d}.png")
+                    frame, os.path.join(temp_dir, f"frame_{f:04d}.png")
                 )
-                assembler.submit(f, frames[i])
-                completed.add(f)
+                if n_proc == 1:
+                    assembler.submit(f, frame)
+            # A batch completes globally in lockstep (one jitted
+            # program), so every chunk frame is recorded regardless of
+            # which process rendered it.
+            completed.update(chunk)
             # Flush pending PNGs before recording them as completed — a
             # crash between the two would otherwise lose frames
             # permanently under resume (progress says done, no PNG on
-            # disk).
+            # disk). Multi-host: the barrier extends the guarantee to
+            # every process's PNGs (each reaches it only after its own
+            # drain).
             writer.drain()
-            write_json_atomic(
-                progress_file,
-                {"params": params, "completed": sorted(completed)},
-            )
+            barrier(f"bhr-video-batch-{b}")
+            if pid == 0:
+                write_json_atomic(
+                    progress_file,
+                    {"params": params, "completed": sorted(completed)},
+                )
             if (b + 1) % 10 == 0 or b == n_batches - 1:
                 done = len(completed)
                 # Rate over THIS session's frames only — `completed`
                 # also counts frames from previous (resumed) sessions.
                 session_done = min((b + 1) * batch, len(pending))
                 rate = session_done / max(time.time() - total_t0, 1e-9)
-                print(f"batch {b + 1}/{n_batches} "
-                      f"done {done}/{config.n_frames} "
-                      f"({rate:.2f} frames/s)")
+                say(f"batch {b + 1}/{n_batches} "
+                    f"done {done}/{config.n_frames} "
+                    f"({rate:.2f} frames/s)")
         writer.close()
 
-        print(f"All frames rendered in "
-              f"{(time.time() - total_t0) / 60:.1f} min")
-        if assembler.finalize():
-            print(f"Video saved: {output_path}")
-            return
-        from ..modes import _assemble_video
+        say(f"All frames rendered in "
+            f"{(time.time() - total_t0) / 60:.1f} min")
+        if n_proc == 1:
+            if assembler.finalize():
+                print(f"Video saved: {output_path}")
+                return
+        if pid == 0:
+            from ..modes import _assemble_video
 
-        _assemble_video(temp_dir, output_path, config.n_frames, config.fps,
-                        crf=config.video_crf)
+            _assemble_video(temp_dir, output_path, config.n_frames,
+                            config.fps, crf=config.video_crf)
+    # Hold every process until the video exists, so no one tears down
+    # the coordination service while process 0 is still assembling.
+    barrier("bhr-video-assembled")

@@ -1,0 +1,165 @@
+"""Multi-host sharded video: 2 real processes over jax.distributed.
+
+The reference has no distributed story (SURVEY.md §2.3); this framework
+shards orbit frames across every host's chips with zero cross-host
+traffic during rendering (bhr_tpu/parallel/video.py). These tests run
+the REAL multi-controller path — two OS processes, a coordination
+service on localhost, 2 virtual CPU devices per process — and verify:
+every frame PNG lands on disk exactly once, process 0 owns
+progress.json and the assembled video, and the frames are bitwise
+identical to a single-process render of the same scene.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import socket
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+N_FRAMES = 8
+
+WORKER = """
+import os, sys
+pid, port, outdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from bhr_tpu.parallel.mesh import initialize_multihost
+n = initialize_multihost("127.0.0.1:" + port, 2, pid)
+assert n == 2, n
+assert jax.device_count() == 4, jax.device_count()
+assert jax.process_index() == pid
+from bhr_tpu.config import SceneConfig
+from bhr_tpu.parallel.video import render_video_sharded
+cfg = SceneConfig(
+    width=32, height=16, fov=60.0, step_size=0.2,
+    disk_inner_radius=2.0, disk_outer_radius=3.5, disk_tilt=15.0,
+    orbit=True, video=True, n_frames={n_frames}, fps=4, n_stars=64,
+    output=os.path.join(outdir, "mh.mp4"),
+).validated()
+render_video_sharded(cfg)
+print("WORKER_OK", pid, flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def multihost_run(tmp_path_factory):
+    """Run the 2-process multi-host video once; tests inspect results."""
+    root = tmp_path_factory.mktemp("mh")
+    outdir = root / "out"
+    outdir.mkdir()
+    # Pre-warm the skybox cache (keyed by size/seed/n_stars) so the two
+    # workers load instead of both generating; the workers share cwd.
+    cwd = root / "work"
+    cwd.mkdir()
+    sys.path.insert(0, REPO)
+    try:
+        from bhr_tpu.models.skybox import load_or_generate_skybox
+
+        load_or_generate_skybox(
+            None, 2048, 1024, 64, seed=42,
+            cache_dir=str(cwd / "output" / ".skybox_cache"),
+        )
+    finally:
+        sys.path.pop(0)
+
+    script = root / "worker.py"
+    script.write_text(WORKER.format(n_frames=N_FRAMES))
+    port = str(_free_port())
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # The conftest's 8-device XLA_FLAGS must not leak into the workers
+    # (they set their own 2-device flag before importing jax).
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), port, str(outdir)],
+            cwd=str(cwd), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    return outdir, procs, outs
+
+
+def _temp_dir(outdir) -> str:
+    import hashlib
+
+    output_path = str(outdir / "mh.mp4")
+    return os.path.join(
+        os.path.dirname(output_path),
+        ".frames_" + hashlib.md5(output_path.encode()).hexdigest()[:16],
+    )
+
+
+def test_both_workers_succeed(multihost_run):
+    outdir, procs, outs = multihost_run
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert f"WORKER_OK {pid}" in out
+
+
+def test_all_frames_written_and_video_assembled(multihost_run):
+    outdir, _, _ = multihost_run
+    temp_dir = _temp_dir(outdir)
+    pngs = sorted(f for f in os.listdir(temp_dir) if f.endswith(".png"))
+    assert pngs == [f"frame_{f:04d}.png" for f in range(N_FRAMES)]
+    video = outdir / "mh.mp4"
+    assert video.is_file() and video.stat().st_size > 0
+    with open(os.path.join(temp_dir, "progress.json")) as f:
+        progress = json.load(f)
+    assert sorted(progress["completed"]) == list(range(N_FRAMES))
+
+
+def test_frames_match_single_process(multihost_run):
+    """Bitwise frame identity: the multi-controller render is the same
+    jitted program, so CPU frames must match a single-process render."""
+    from PIL import Image
+
+    from bhr_tpu.config import SceneConfig
+    from bhr_tpu.parallel.video import render_video_sharded
+
+    outdir, _, _ = multihost_run
+    sp_out = outdir / "sp"
+    sp_out.mkdir()
+    cfg = SceneConfig(
+        width=32, height=16, fov=60.0, step_size=0.2,
+        disk_inner_radius=2.0, disk_outer_radius=3.5, disk_tilt=15.0,
+        orbit=True, video=True, n_frames=N_FRAMES, fps=4, n_stars=64,
+        output=str(sp_out / "sp.mp4"),
+    ).validated()
+    render_video_sharded(cfg)
+
+    mh_dir = _temp_dir(outdir)
+    sp_dir = os.path.join(
+        str(sp_out),
+        ".frames_" + __import__("hashlib").md5(
+            str(sp_out / "sp.mp4").encode()
+        ).hexdigest()[:16],
+    )
+    for f in range(N_FRAMES):
+        name = f"frame_{f:04d}.png"
+        a = np.asarray(Image.open(os.path.join(mh_dir, name)))
+        b = np.asarray(Image.open(os.path.join(sp_dir, name)))
+        np.testing.assert_array_equal(a, b, err_msg=name)
