@@ -153,7 +153,16 @@ def config_from_args(args: argparse.Namespace) -> SceneConfig:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if (args.coordinator_address is None
+            and (args.num_processes is not None
+                 or args.process_id is not None)):
+        # Without the coordinator this process would run a normal
+        # single-process render racing the real fleet's temp dir and
+        # progress file on the shared filesystem.
+        parser.error("--num_processes/--process_id require "
+                     "--coordinator_address")
     config = config_from_args(args)
 
     import jax
@@ -170,6 +179,22 @@ def main(argv=None) -> int:
         if jax.process_index() == 0:
             print(f"multi-host: {n} processes, "
                   f"{len(jax.devices())} devices total")
+        if n > 1:
+            # Only the sharded video engine is multi-host aware; any
+            # other mode would run N duplicated renders against the
+            # same output files. Mirror modes.render_video's dispatch
+            # conditions and fail loud on every process.
+            if not (config.video
+                    and not config.interactive
+                    and config.disk_texture is None
+                    and config.disk_model == "texture"
+                    and config.frame_shards in (0, len(jax.devices()))):
+                parser.error(
+                    "multi-host runs support only sharded orbit video: "
+                    "--video without --interactive/--disk_texture, "
+                    "--disk_model texture, and --frame_shards 0 (all "
+                    f"devices) or {len(jax.devices())}"
+                )
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if not args.no_compile_cache:

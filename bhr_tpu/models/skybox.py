@@ -14,6 +14,7 @@ stays on host; per-frame work (textures, shading, ray-march) is JAX.
 from __future__ import annotations
 
 import os
+import tempfile
 from typing import Optional, Tuple
 
 import numpy as np
@@ -268,16 +269,24 @@ def load_or_generate_skybox(
     texture = generate_skybox(tex_w=tex_w, tex_h=tex_h, seed=seed,
                               n_stars=n_stars)
     if cache_path:
-        os.makedirs(cache_dir, exist_ok=True)
-        tmp = f"{cache_path}.tmp.{os.getpid()}"
+        # Temp + replace: concurrent starts (multi-host video
+        # processes, parallel tests) must never load a half-written
+        # entry. mkstemp gives every writer a name unique even across
+        # hosts sharing the filesystem (a pid suffix is not: two hosts
+        # can hold the same pid), and the finally-unlink never leaves
+        # an orphan temp file behind a failed write.
         try:
-            # Temp + replace: concurrent starts (multi-host video
-            # processes, parallel tests) must never load a half-written
-            # entry; the pid suffix keeps simultaneous writers off each
-            # other's temp files.
-            with open(tmp, "wb") as f:
-                np.save(f, texture)
-            os.replace(tmp, cache_path)
+            os.makedirs(cache_dir, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(
+                prefix=os.path.basename(cache_path) + ".", dir=cache_dir
+            )
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    np.save(f, texture)
+                os.replace(tmp, cache_path)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         except OSError:
             pass  # read-only output dir: cache is best-effort
     return texture, tex_h, tex_w

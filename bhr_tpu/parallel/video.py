@@ -325,7 +325,6 @@ def render_video_sharded(config: SceneConfig) -> None:
     final video from the shared frame directory — hosts must share the
     output filesystem, the standard pod-slice arrangement.
     """
-    import json
     import os
     import time
 
@@ -378,16 +377,20 @@ def render_video_sharded(config: SceneConfig) -> None:
     else:
         completed = set()
     if n_proc > 1:
-        # Process 0 arbitrates resume-vs-wipe; the rest read the
-        # surviving progress file afterwards (empty after a wipe).
-        barrier("bhr-video-progress")
+        # Process 0 arbitrates resume-vs-wipe and BROADCASTS the
+        # surviving frame set (as a fixed-shape mask) — re-reading the
+        # progress file on each host could diverge (NFS staleness,
+        # transient EIO), and divergent `pending` sets would
+        # desynchronize the per-batch barrier sequence. The broadcast
+        # is itself a collective, so it doubles as the arbitration
+        # barrier.
+        from jax.experimental import multihost_utils
+
+        mask = np.zeros(config.n_frames, bool)
+        mask[[f for f in completed if f < config.n_frames]] = True
+        mask = np.asarray(multihost_utils.broadcast_one_to_all(mask))
+        completed = {int(f) for f in np.nonzero(mask)[0]}
         os.makedirs(temp_dir, exist_ok=True)
-        if pid != 0 and config.resume and os.path.isfile(progress_file):
-            try:
-                with open(progress_file) as f:
-                    completed = set(json.load(f).get("completed", []))
-            except (json.JSONDecodeError, OSError):
-                completed = set()
 
     skybox, _, _ = load_or_generate_skybox(
         config.texture, 2048, 1024, config.n_stars, seed=config.skybox_seed

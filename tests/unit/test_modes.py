@@ -294,3 +294,16 @@ def test_pov_inside_horizon_rejected():
         with pytest.raises(ValueError, match="event"):
             SceneConfig(pov=pov).validated()
     SceneConfig(pov=(1.1, 0.0, 0.0)).validated()  # just outside: fine
+
+
+def test_cli_multihost_rank_flags_require_coordinator():
+    # Omitting --coordinator_address on one host of a fleet must fail
+    # loud: a silent single-process run would race the real fleet's
+    # temp dir and progress file (cli.py guard).
+    from bhr_tpu.cli import main
+
+    for flags in (["--num_processes", "2"], ["--process_id", "0"],
+                  ["--num_processes", "2", "--process_id", "1"]):
+        with pytest.raises(SystemExit) as exc:
+            main(flags + ["-o", "x.png"])
+        assert exc.value.code == 2  # argparse error exit

@@ -15,6 +15,7 @@ import os
 import subprocess
 import sys
 import socket
+import time
 
 import numpy as np
 import pytest
@@ -83,23 +84,26 @@ def multihost_run(tmp_path_factory):
     # The conftest's 8-device XLA_FLAGS must not leak into the workers
     # (they set their own 2-device flag before importing jax).
     env.pop("XLA_FLAGS", None)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(script), str(pid), port, str(outdir)],
-            cwd=str(cwd), env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for pid in (0, 1)
-    ]
-    outs = []
+    # Worker output goes to files, not pipes: with sequential waits, a
+    # worker filling a 64KB pipe buffer would block mid-collective and
+    # deadlock both processes until the timeout, masking the real error.
+    logs = [root / f"worker{pid}.log" for pid in (0, 1)]
+    procs = []
+    for pid in (0, 1):
+        with open(logs[pid], "w") as log:
+            procs.append(subprocess.Popen(
+                [sys.executable, str(script), str(pid), port, str(outdir)],
+                cwd=str(cwd), env=env, stdout=log, stderr=log,
+            ))
+    deadline = time.time() + 540
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=540)
+            p.wait(timeout=max(1, deadline - time.time()))
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
-        outs.append(out)
+    outs = [log.read_text() for log in logs]
     return outdir, procs, outs
 
 
