@@ -167,3 +167,46 @@ def test_frames_match_single_process(multihost_run):
         a = np.asarray(Image.open(os.path.join(mh_dir, name)))
         b = np.asarray(Image.open(os.path.join(sp_dir, name)))
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+GUARD_WORKER = """
+import sys
+pid, port = int(sys.argv[1]), sys.argv[2]
+from bhr_tpu.cli import main
+# Unsupported multi-host mode (no --video): every process must reject
+# it after the fleet connects, instead of running duplicated renders.
+main(["--device", "cpu", "--interactive", "-r", "sd", "-o", "x.png",
+      "--coordinator_address", "127.0.0.1:" + port,
+      "--num_processes", "2", "--process_id", str(pid)])
+"""
+
+
+def test_multihost_rejects_unsupported_mode(tmp_path):
+    """Both processes of a fleet running a non-sharded-video mode exit
+    with the argparse error code (cli.py multi-host mode guard)."""
+    script = tmp_path / "guard_worker.py"
+    script.write_text(GUARD_WORKER)
+    port = str(_free_port())
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    logs = [tmp_path / f"guard{pid}.log" for pid in (0, 1)]
+    procs = []
+    for pid in (0, 1):
+        with open(logs[pid], "w") as log:
+            procs.append(subprocess.Popen(
+                [sys.executable, str(script), str(pid), port],
+                cwd=str(tmp_path), env=env, stdout=log, stderr=log,
+            ))
+    deadline = time.time() + 180
+    for p in procs:
+        try:
+            p.wait(timeout=max(1, deadline - time.time()))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        out = log.read_text()
+        assert p.returncode == 2, f"guard worker {pid}: rc={p.returncode}\n{out[-2000:]}"
+        assert "sharded orbit video" in out, out[-2000:]
