@@ -182,12 +182,15 @@ def main(argv=None) -> int:
         if n > 1:
             # Only the sharded video engine is multi-host aware; any
             # other mode would run N duplicated renders against the
-            # same output files. Mirror modes.render_video's dispatch
-            # conditions and fail loud on every process.
+            # same output files. Same predicate render_video dispatches
+            # on (single-sourced), plus all-devices frame_shards (the
+            # sharded engine itself enforces it, but failing here keeps
+            # the message actionable) — fail loud on every process.
+            from .modes import sharded_video_eligible
+
             if not (config.video
                     and not config.interactive
-                    and config.disk_texture is None
-                    and config.disk_model == "texture"
+                    and sharded_video_eligible(config)
                     and config.frame_shards in (0, len(jax.devices()))):
                 parser.error(
                     "multi-host runs support only sharded orbit video: "

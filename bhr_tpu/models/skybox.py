@@ -281,6 +281,12 @@ def load_or_generate_skybox(
                 prefix=os.path.basename(cache_path) + ".", dir=cache_dir
             )
             try:
+                # mkstemp creates 0600; restore umask-derived perms so a
+                # shared cache dir stays readable by other users (plain
+                # open() would have given 0644 under the usual umask).
+                umask = os.umask(0)
+                os.umask(umask)
+                os.fchmod(fd, 0o666 & ~umask)
                 with os.fdopen(fd, "wb") as f:
                     np.save(f, texture)
                 os.replace(tmp, cache_path)

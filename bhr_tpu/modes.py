@@ -191,6 +191,26 @@ def render_image(config: SceneConfig) -> np.ndarray:
     return img
 
 
+def sharded_video_eligible(config: SceneConfig) -> bool:
+    """True when render_video dispatches to the sharded engine.
+
+    Single source for the dispatch predicate — the CLI's multi-host
+    mode guard must agree with render_video exactly, or an accepted
+    fleet config could fall through to the sequential path and run N
+    duplicated renders against the same output files.
+    """
+    import jax
+
+    return (
+        config.disk_texture is None
+        and config.disk_model == "texture"
+        and (config.frame_shards > 1
+             or (config.frame_shards == 0
+                 and (len(jax.devices()) > 1
+                      or jax.default_backend() == "tpu")))
+    )
+
+
 def render_video(config: SceneConfig,
                  renderer: Optional[Renderer] = None,
                  dynamic: Optional[DynamicDiskSystem] = None) -> None:
@@ -202,23 +222,13 @@ def render_video(config: SceneConfig,
     config.resume=True to continue; lifecycle state is re-created by
     fast-replaying factory ticks to the resume point.
     """
-    import jax
-
     # Batched/sharded path: shard frames across the mesh
     # (zero-communication data parallelism; see parallel/video.py). On a
     # single TPU chip it degrades to a batched sequential renderer that
     # still amortizes dispatch over whole frame batches — strictly
     # faster than the per-frame Renderer loop below, which remains for
     # CPU tests, external disk textures, and the V2 model.
-    if (
-        renderer is None
-        and config.disk_texture is None
-        and config.disk_model == "texture"
-        and (config.frame_shards > 1
-             or (config.frame_shards == 0
-                 and (len(jax.devices()) > 1
-                      or jax.default_backend() == "tpu")))
-    ):
+    if renderer is None and sharded_video_eligible(config):
         from .parallel.video import render_video_sharded
 
         render_video_sharded(config)

@@ -387,7 +387,12 @@ def render_video_sharded(config: SceneConfig) -> None:
         from jax.experimental import multihost_utils
 
         mask = np.zeros(config.n_frames, bool)
-        mask[[f for f in completed if f < config.n_frames]] = True
+        # Tolerate junk entries (negative, float, out-of-range) the way
+        # the single-process pending computation does — by ignoring
+        # them; raw indexing would wrap negatives or raise on floats.
+        mask[[int(f) for f in completed
+              if isinstance(f, (int, float)) and not isinstance(f, bool)
+              and float(f).is_integer() and 0 <= f < config.n_frames]] = True
         mask = np.asarray(multihost_utils.broadcast_one_to_all(mask))
         completed = {int(f) for f in np.nonzero(mask)[0]}
         os.makedirs(temp_dir, exist_ok=True)
@@ -449,10 +454,38 @@ def render_video_sharded(config: SceneConfig) -> None:
     pending = [f for f in range(config.n_frames) if f not in completed]
     # Pad the final batch by repeating the last frame (discarded on write).
     n_batches = (len(pending) + batch - 1) // batch
+
+    @contextlib.contextmanager
+    def _abort_fleet_on_error():
+        """Die loudly instead of stranding the fleet.
+
+        A process that raises between barriers (disk full in drain, a
+        device error) would leave every other host blocked in
+        sync_global_devices forever — the collectives have no deadline.
+        Exiting hard lets the coordination service's missed-heartbeat
+        detection fail the remaining processes' barriers within its
+        timeout, so the whole run dies visibly and is resumable.
+        """
+        import sys
+        import traceback
+
+        try:
+            yield
+        except BaseException:
+            print(f"[process {pid}] fatal error, aborting the fleet:",
+                  file=sys.stderr)
+            traceback.print_exc()
+            sys.stderr.flush()
+            os._exit(1)
+
     # The with-block covers everything through finalize: an exception
     # ANYWHERE in it (batch loop, PNG drain, progress write) discards
-    # the partial video via __exit__.
-    with assembler:
+    # the partial video via __exit__ — and, multi-host, aborts this
+    # process hard (entered first, so it also covers assembler exit).
+    with contextlib.ExitStack() as _stack:
+        if n_proc > 1:
+            _stack.enter_context(_abort_fleet_on_error())
+        _stack.enter_context(assembler)
         for b in range(n_batches):
             chunk = pending[b * batch : (b + 1) * batch]
             idx = chunk + [chunk[-1]] * (batch - len(chunk))

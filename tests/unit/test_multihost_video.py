@@ -23,10 +23,13 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-N_FRAMES = 8
+# 9 frames over a 4-device x 2-frames batch of 8: the second batch is 1
+# real frame + 7 padding repeats, so the multi-host padding-skip path
+# (positions landing on the OTHER host's devices) is exercised.
+N_FRAMES = 9
 
 WORKER = """
-import os, sys
+import dataclasses, os, sys
 pid, port, outdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 import jax
@@ -45,6 +48,10 @@ cfg = SceneConfig(
     output=os.path.join(outdir, "mh.mp4"),
 ).validated()
 render_video_sharded(cfg)
+# Second pass with resume=True: everything is complete, so this drives
+# the broadcast resume arbitration (process 0 -> fleet) and idempotent
+# reassembly without re-rendering a single frame.
+render_video_sharded(dataclasses.replace(cfg, resume=True))
 print("WORKER_OK", pid, flush=True)
 """
 
@@ -108,13 +115,11 @@ def multihost_run(tmp_path_factory):
 
 
 def _temp_dir(outdir) -> str:
-    import hashlib
+    # The product's own derivation — a hand-rolled md5 copy here would
+    # go stale if video_temp_paths ever changes its key scheme.
+    from bhr_tpu.modes import video_temp_paths
 
-    output_path = str(outdir / "mh.mp4")
-    return os.path.join(
-        os.path.dirname(output_path),
-        ".frames_" + hashlib.md5(output_path.encode()).hexdigest()[:16],
-    )
+    return video_temp_paths(str(outdir / "mh.mp4"))[0]
 
 
 def test_both_workers_succeed(multihost_run):
@@ -155,13 +160,10 @@ def test_frames_match_single_process(multihost_run):
     ).validated()
     render_video_sharded(cfg)
 
+    from bhr_tpu.modes import video_temp_paths
+
     mh_dir = _temp_dir(outdir)
-    sp_dir = os.path.join(
-        str(sp_out),
-        ".frames_" + __import__("hashlib").md5(
-            str(sp_out / "sp.mp4").encode()
-        ).hexdigest()[:16],
-    )
+    sp_dir = video_temp_paths(str(sp_out / "sp.mp4"))[0]
     for f in range(N_FRAMES):
         name = f"frame_{f:04d}.png"
         a = np.asarray(Image.open(os.path.join(mh_dir, name)))
