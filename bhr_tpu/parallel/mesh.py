@@ -21,6 +21,7 @@ def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    **kwargs,
 ) -> int:
     """Initialize jax.distributed for multi-host rendering over DCN.
 
@@ -30,6 +31,11 @@ def initialize_multihost(
     builds a global mesh — frame sharding needs no collectives, so
     cross-host traffic is zero during rendering (only the final PNG
     gather, which each host writes locally anyway).
+
+    Extra kwargs pass through to jax.distributed.initialize — e.g.
+    ``heartbeat_timeout_seconds`` to tune how fast the fleet notices a
+    dead process (the fleet-abort tests shorten it from the 100 s
+    default).
 
     Returns the process count.
     """
@@ -41,6 +47,7 @@ def initialize_multihost(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
+        **kwargs,
     )
     return jax.process_count()
 

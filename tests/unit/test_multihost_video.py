@@ -212,3 +212,77 @@ def test_multihost_rejects_unsupported_mode(tmp_path):
         out = log.read_text()
         assert p.returncode == 2, f"guard worker {pid}: rc={p.returncode}\n{out[-2000:]}"
         assert "sharded orbit video" in out, out[-2000:]
+
+
+FAIL_WORKER = """
+import os, sys
+pid, port, outdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from bhr_tpu.parallel.mesh import initialize_multihost
+# Short heartbeat so the survivor notices the dead peer in seconds,
+# not the 100 s default.
+initialize_multihost("127.0.0.1:" + port, 2, pid,
+                     heartbeat_timeout_seconds=10)
+import bhr_tpu.parallel.video as V
+real = V.render_video_frames_sharded
+calls = [0]
+def inject(*a, **kw):
+    calls[0] += 1
+    if pid == 1 and calls[0] == 2:
+        raise RuntimeError("injected-batch-failure")
+    return real(*a, **kw)
+V.render_video_frames_sharded = inject
+from bhr_tpu.config import SceneConfig
+cfg = SceneConfig(
+    width=32, height=16, fov=60.0, step_size=0.2,
+    disk_inner_radius=2.0, disk_outer_radius=3.5, disk_tilt=15.0,
+    orbit=True, video=True, n_frames=16, fps=4, n_stars=64,
+    output=os.path.join(outdir, "fail.mp4"),
+).validated()
+V.render_video_sharded(cfg)
+print("UNREACHABLE", pid, flush=True)
+"""
+
+
+def test_fleet_aborts_on_worker_failure(tmp_path):
+    """A worker that dies mid-run must take the whole fleet down loudly
+    (video.py _abort_fleet_on_error) — the failure mode it prevents is
+    the survivor blocking in sync_global_devices forever."""
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    script = tmp_path / "fail_worker.py"
+    script.write_text(FAIL_WORKER)
+    port = str(_free_port())
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    logs = [tmp_path / f"fail{pid}.log" for pid in (0, 1)]
+    procs = []
+    for pid in (0, 1):
+        with open(logs[pid], "w") as log:
+            procs.append(subprocess.Popen(
+                [sys.executable, str(script), str(pid), port, str(outdir)],
+                cwd=str(tmp_path), env=env, stdout=log, stderr=log,
+            ))
+    # Worker 1 injects a failure on its second batch; worker 0 must
+    # exit (via the coordination service's dead-peer detection) well
+    # within this deadline instead of hanging in the batch barrier.
+    deadline = time.time() + 240
+    for p in procs:
+        try:
+            p.wait(timeout=max(1, deadline - time.time()))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("fleet hung after a worker death — the abort "
+                        "path did not fire")
+    out1 = logs[1].read_text()
+    assert procs[1].returncode == 1, out1[-2000:]
+    assert "injected-batch-failure" in out1
+    assert "aborting the fleet" in out1
+    out0 = logs[0].read_text()
+    assert procs[0].returncode != 0, out0[-2000:]
+    assert "UNREACHABLE" not in out0
+    assert "UNREACHABLE" not in out1
