@@ -1,8 +1,23 @@
 #!/usr/bin/env python3
-"""Benchmark: 1080p full-dynamic-pipeline frame rate on one TPU chip.
+"""Benchmark: the full README metric set on one TPU chip, ONE JSON line.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Headline metric (the driver's parsed triple): 1080p full-dynamic-
+pipeline frame rate vs the reference's < 2 s CPU baseline. The same
+JSON object also carries every other README performance claim so any
+path regression (AA, Pallas trace, 4K, V2 integrator) is visible in
+BENCH_r{N}.json round over round:
+
+  fhd_dynamic_frame_ms   headline: FHD frame, dynamic texture pipeline
+  sd_frame_ms            640x360 dynamic frame
+  fourk_frame_ms         3840x2160 dynamic frame
+  fhd_aa_frame_ms        FHD dynamic frame with ray-differential AA
+  fhd_trace_ms           FHD geodesic trace alone (Pallas kernel)
+  fhd_trace_aa_ms        FHD trace with differential transport
+  mray_steps_per_s       useful RK4 ray-steps/s (slim kernel)
+  mray_steps_per_s_aa    same, AA kernel (3 coupled systems/step)
+  vpu_mfu                slim-kernel FLOP/s vs the v5e VPU f32 peak
+  vpu_mfu_aa             AA-kernel FLOP/s vs the same peak
+  v2_frame_ms            FHD disk_v2 volume frame (8-sample transfer)
 
 Scene: the reference's headline config — FHD frame with procedural
 skybox, per-frame dynamic disk texture (lifecycle entities + evolving
@@ -22,6 +37,35 @@ import json
 import sys
 import time
 
+# --- FLOPs-per-RK4-step model (roofline accounting) -----------------------
+#
+# Static count of f32 VPU ops per *useful* ray-step of the Pallas kernel
+# body (ops/geodesic_pallas.py), counting mul/add/fma-as-2/cmp/select as
+# 1 and sqrt/rsqrt/recip as 1 (v5e transcendental ops issue ~1/cycle/lane
+# like mults). Breakdown (slim kernel, record_hits=True, K=4 slots):
+#
+#   adaptive step h (r2, sqrt, far/near, clip)            ~20
+#   4x stage_f (r2, rsqrt, ir2, ir5, f)                    40
+#   RK4 position/direction (4 stages: kp/kd/stage pos)    124
+#   RK4 final combine (6 components x ~7)                  42
+#   termination (nr2, affine, masks)                       14
+#   plane-crossing test + hit interp (f_old/new, t_frac)   20
+#   hit-slot selects (K=4 slots x 5 feats + masks)         28
+#   state-commit selects (pos/dir/affine/flags)            12
+#                                               total    ~300
+#
+# The AA kernel adds two Jacobian-transported differential systems:
+#   2 x 4 stages x (proj + 3 fma jac, qd, qp, stage-in)   ~232
+#   2 x final combines (6 comps x ~7)                       84
+#   extra selects (12 state planes) + 6 hit-lerp planes     30
+#                                          AA adds        ~346
+FLOPS_PER_STEP_SLIM = 300.0
+FLOPS_PER_STEP_AA = 646.0
+
+# v5e VPU f32 peak: 8x128-lane vregs x 4 ALUs x ~940 MHz per TensorCore
+# ~= 3.85e12 FLOP/s (the MXU's 197 TFLOP/s bf16 is irrelevant here —
+# the geodesic integrator is pure elementwise VPU work).
+V5E_VPU_F32_PEAK = 3.85e12
 
 
 def build_skybox_q():
@@ -44,8 +88,27 @@ def build_skybox_q():
     return skybox_q, tex_dtype
 
 
+def bench_scene_config(resolution: str, anti_alias: str = "disabled"):
+    """THE benchmark scene (one source for bench.py and the tools)."""
+    from bhr_tpu.config import SceneConfig
+
+    return SceneConfig(
+        resolution=resolution,
+        pov=(6.0, 0.0, 0.5),
+        fov=90.0,
+        step_size=0.1,
+        disk_inner_radius=2.0,
+        disk_outer_radius=15.0,
+        disk_tilt=15.0,
+        orbit=True,
+        n_frames=3600,
+        anti_alias=anti_alias,
+    ).validated()
+
+
 def time_resolution(resolution: str, batch: int,
-                    skybox_q=None, tex_dtype=None) -> float:
+                    skybox_q=None, tex_dtype=None,
+                    anti_alias: str = "disabled") -> float:
     """ms/frame for the headline dynamic-pipeline scene at a preset.
 
     THE measurement methodology — one jitted batched program (sharded
@@ -57,7 +120,7 @@ def time_resolution(resolution: str, batch: int,
     import jax
     import jax.numpy as jnp
 
-    from bhr_tpu.config import SceneConfig, compute_disk_texture_resolution
+    from bhr_tpu.config import compute_disk_texture_resolution
     from bhr_tpu.models.dynamic_disk import DynamicDiskSystem
     from bhr_tpu.parallel.mesh import make_frame_mesh
     from bhr_tpu.parallel.video import (
@@ -69,17 +132,7 @@ def time_resolution(resolution: str, batch: int,
     if skybox_q is None or tex_dtype is None:
         skybox_q, tex_dtype = build_skybox_q()
 
-    cfg = SceneConfig(
-        resolution=resolution,
-        pov=(6.0, 0.0, 0.5),
-        fov=90.0,
-        step_size=0.1,
-        disk_inner_radius=2.0,
-        disk_outer_radius=15.0,
-        disk_tilt=15.0,
-        orbit=True,
-        n_frames=3600,
-    ).validated()
+    cfg = bench_scene_config(resolution, anti_alias)
     width, height = cfg.image_size
 
     n_phi, n_r = compute_disk_texture_resolution(
@@ -124,6 +177,143 @@ def time_resolution(resolution: str, batch: int,
     return (time.perf_counter() - t0) / batch * 1000.0
 
 
+def time_trace(aa: bool) -> dict:
+    """FHD geodesic-trace throughput: {trace_ms, mray_steps_per_s,
+    steps_per_frame, mean_steps_per_ray, vpu_flops_per_s, vpu_mfu}.
+
+    A "ray-step" is one useful RK4 step of one ray — frozen lanes inside
+    the kernel's lock-step tiles are NOT counted, so the number reflects
+    delivered physics throughput, not lane occupancy. Step counts come
+    from the kernel itself (record_step_counts=True); timing comes from
+    the production kernel (counting off). tools/bench_trace.py is a thin
+    shell over this function.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bhr_tpu.camera import build_camera
+    from bhr_tpu.config import escape_radius
+    from bhr_tpu.ops.geodesic_pallas import (
+        camera_params,
+        trace_geodesics_pallas,
+    )
+
+    W, H = 1920, 1080
+    cam = build_camera([6.0, 0.0, 0.5], 90.0, W, H)
+    cp = jnp.asarray(camera_params(cam))
+    kw = dict(
+        width=W, height=H, h_base=0.1,
+        r_escape=escape_radius(10.0, [6.0, 0.0, 0.5]),  # production formula
+        tilt_deg=15.0,
+        r_inner=2.0, r_outer=15.0, with_differentials=aa,
+    )
+
+    # Total useful RK4 steps for this frame (counted once, by the kernel).
+    counted = trace_geodesics_pallas(cp, record_step_counts=True, **kw)
+    total_steps = int(np.asarray(counted.steps, dtype=np.int64).sum())
+
+    # Time the production kernel (no counter) over a batch to amortize
+    # the dispatch round-trip.
+    batch = 8
+
+    @jax.jit
+    def run(c):
+        def one(i, acc):
+            # Perturb the camera by a sub-micro-radian per iteration so
+            # XLA cannot hoist the (otherwise loop-invariant) trace out
+            # of the loop; the physics workload is unchanged.
+            ci = c.at[12].add(i.astype(jnp.float32) * 1e-12)
+            t = trace_geodesics_pallas(ci, **kw)
+            return acc + jnp.sum(t.hit_count)
+        return jax.lax.fori_loop(0, batch, one, jnp.int32(0))
+
+    float(run(cp))  # compile + warm
+    t0 = time.perf_counter()
+    float(run(cp))
+    dt = (time.perf_counter() - t0) / batch
+
+    flops_per_step = FLOPS_PER_STEP_AA if aa else FLOPS_PER_STEP_SLIM
+    flops_per_s = total_steps * flops_per_step / dt
+    return {
+        "trace_ms": round(dt * 1e3, 2),
+        "mray_steps_per_s": round(total_steps / dt / 1e6, 1),
+        "steps_per_frame": total_steps,
+        "mean_steps_per_ray": round(total_steps / (W * H), 1),
+        "vpu_flops_per_s": round(flops_per_s / 1e12, 3),
+        "vpu_mfu": round(flops_per_s / V5E_VPU_F32_PEAK, 3),
+    }
+
+
+def time_v2(batch: int = 8, skybox_q=None, tex_dtype=None) -> float:
+    """ms/frame for the FHD disk_v2 volume-integration frame.
+
+    One jitted batched program: Pallas trace (no differentials — V2 has
+    no LOD path) + emission-absorption slab shading + bloom, matching
+    what `--disk_model v2` renders per frame.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bhr_tpu.models.disk_v2.params import DiskV2Params
+    from bhr_tpu.ops.bloom import apply_bloom
+    from bhr_tpu.ops.geodesic_pallas import trace_geodesics_pallas
+    from bhr_tpu.parallel.frames import cameras_for_orbit, pack_cameras
+    from bhr_tpu.pipeline import shade_frame_v2
+    from bhr_tpu.config import scene_escape_radius
+
+    if skybox_q is None or tex_dtype is None:
+        skybox_q, tex_dtype = build_skybox_q()
+
+    cfg = bench_scene_config("fhd")
+    width, height = cfg.image_size
+    v2_params = DiskV2Params(
+        r_in=float(cfg.disk_inner_radius), r_out=float(cfg.disk_outer_radius)
+    )
+    r_escape = scene_escape_radius(cfg)
+
+    def one_frame(args):
+        cam, t = args
+        trace = trace_geodesics_pallas(
+            cam, width=width, height=height,
+            h_base=float(cfg.step_size), r_escape=float(r_escape),
+            tilt_deg=float(cfg.disk_tilt),
+            r_inner=float(cfg.disk_inner_radius),
+            r_outer=float(cfg.disk_outer_radius),
+            with_differentials=False, record_hits=True,
+        )
+        bg, disk_rgb, _ = shade_frame_v2(
+            trace, skybox_q, cam[0:3],
+            v2_params=v2_params, v2_structure=None,
+            tilt_deg=float(cfg.disk_tilt), t_offset=t,
+            seed=int(cfg.seed), image_shape=(height, width),
+        )
+        shape = (height, width, 3)
+        disk_img = disk_rgb.reshape(shape)
+        blur = apply_bloom(disk_img, width_ref=width)
+        final = jnp.clip(bg.reshape(shape) + disk_img + blur, 0.0, 1.0)
+        return jnp.round(final * 255.0).astype(jnp.uint8)
+
+    @jax.jit
+    def run(cam_pack, t_arr):
+        out = jax.lax.map(one_frame, (cam_pack, t_arr))
+        return jnp.sum(out.astype(jnp.float32))
+
+    def run_batch(lo):
+        idx = list(range(lo, lo + batch))
+        cams = cameras_for_orbit(cfg, idx, width, height)
+        cam_pack = jnp.asarray(pack_cameras(cams))
+        t_arr = jnp.asarray(
+            [f * cfg.disk_rotation_speed for f in idx], jnp.float32
+        )
+        return float(run(cam_pack, t_arr))
+
+    run_batch(0)  # compile + warm
+    t0 = time.perf_counter()
+    run_batch(batch)
+    return (time.perf_counter() - t0) / batch * 1000.0
+
+
 def _default_backend_alive(timeout_s: float = 180.0) -> bool:
     """Subprocess probe: a dead relayed-TPU tunnel hangs backend init
     ~20 min and the init lock then wedges this whole process — fail
@@ -143,7 +333,13 @@ def main() -> int:
     from bhr_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
-    ms = time_resolution("fhd", 32)
+    skybox_q, tex_dtype = build_skybox_q()
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    log("bench: fhd dynamic frame ...")
+    ms = time_resolution("fhd", 32, skybox_q, tex_dtype)
 
     result = {
         "metric": "fhd_dynamic_frame_ms",
@@ -151,6 +347,36 @@ def main() -> int:
         "unit": "ms",
         "vs_baseline": round(2000.0 / ms, 2),
     }
+
+    # Secondary metrics: every README perf claim, same JSON object.
+    # Failures here must not cost the headline metric — record the
+    # error string instead.
+    def aux(key, fn):
+        log(f"bench: {key} ...")
+        try:
+            result[key] = fn()
+        except Exception as exc:  # pragma: no cover - defensive
+            result[key] = f"error: {exc}"
+
+    aux("sd_frame_ms",
+        lambda: round(time_resolution("sd", 32, skybox_q, tex_dtype), 2))
+    aux("fourk_frame_ms",
+        lambda: round(time_resolution("4k", 8, skybox_q, tex_dtype), 2))
+    aux("fhd_aa_frame_ms",
+        lambda: round(time_resolution(
+            "fhd", 16, skybox_q, tex_dtype, anti_alias="lod_radius"), 2))
+    aux("v2_frame_ms",
+        lambda: round(time_v2(8, skybox_q, tex_dtype), 2))
+
+    def trace_metrics(aa, prefix):
+        tr = time_trace(aa)
+        result[f"mray_steps_per_s{prefix}"] = tr["mray_steps_per_s"]
+        result[f"vpu_mfu{prefix}"] = tr["vpu_mfu"]
+        return tr["trace_ms"]
+
+    aux("fhd_trace_ms", lambda: trace_metrics(False, ""))
+    aux("fhd_trace_aa_ms", lambda: trace_metrics(True, "_aa"))
+
     print(json.dumps(result))
     return 0
 
