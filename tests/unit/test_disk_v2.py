@@ -278,6 +278,7 @@ def test_modulation_batch_independent():
     np.testing.assert_allclose(one, full[0], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_pipeline_v2_seed_reaches_structure():
     """Regression: the renderer must thread config.seed into the V2
     volume shading — two Renderer configs differing ONLY in seed must

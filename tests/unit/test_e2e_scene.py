@@ -17,6 +17,7 @@ from e2e_render import (  # noqa: E402
 )
 
 
+@pytest.mark.slow
 def test_e2e_scene_deterministic_and_sane():
     img = render_e2e_scene()
     assert img.shape == (180, 320, 3)
@@ -70,6 +71,13 @@ def test_e2e_v2_matches_golden_if_present():
     # Same geometry through the disk_v2 volume renderer: pins the slab
     # radiative transfer, structure modulation, and palette paths.
     _check_scene_golden("v2")
+
+
+def test_e2e_v2sci_matches_golden_if_present():
+    # V2 with the scientific palette AND the structure modulation layer
+    # (m=1/m=2 modes + shear texture + hotspots) — the full
+    # DiskV2StructureParams surface, reachable via --v2_structure.
+    _check_scene_golden("v2sci")
 
 
 def test_e2e_flare_matches_golden_if_present():

@@ -26,6 +26,7 @@ def tiny_cfg():
     ).validated()
 
 
+@pytest.mark.slow
 def test_headless_preview_renders_frames(tiny_cfg, tmp_path):
     out = str(tmp_path / "preview")
     run_headless_preview(tiny_cfg, n_frames=2, out_dir=out)
@@ -107,3 +108,114 @@ def test_force_differentials_switches_lod_path(tiny_cfg):
     assert np.abs(on - off).max() > 1e-4, (
         "forced differentials did not change the image"
     )
+
+
+class _FakeRenderer:
+    def __init__(self):
+        self.calls = []
+        self.textures = 0
+
+    def render(self, cam_pos, fov, frame=0, skip_differentials=False,
+               force_differentials=False, skip_bloom=False,
+               lens_flare=False):
+        self.calls.append(dict(
+            cam_pos=list(cam_pos), fov=fov, frame=frame,
+            skip_differentials=skip_differentials,
+            force_differentials=force_differentials,
+            skip_bloom=skip_bloom, lens_flare=lens_flare,
+        ))
+        return np.zeros((4, 4, 3), np.float32)
+
+    def update_disk_texture(self, tex):
+        self.textures += 1
+
+
+class _FakeDynamic:
+    entity_count = 7
+
+    def __init__(self):
+        self.advances = []
+
+    def advance(self, t, dt, recompute_stats=False, solo_idx=-1):
+        self.advances.append((t, dt, recompute_stats, solo_idx))
+        return np.zeros((8, 16, 4), np.float32)
+
+
+def test_interactive_session_loop_body(tiny_cfg):
+    """The windowed loop body, driven headlessly: key toggles reach the
+    render call, the lifecycle advances with the clamped sim step, and
+    the render/viewer timing split is accounted (VERDICT r1 #7)."""
+    from bhr_tpu.interactive import InteractiveSession
+
+    r, d = _FakeRenderer(), _FakeDynamic()
+    sess = InteractiveSession(tiny_cfg, renderer=r, dynamic=d)
+
+    sess.step(0.05)
+    assert r.textures == 1 and len(r.calls) == 1
+    c = r.calls[0]
+    assert c["frame"] == 0  # rotation lives in the advancing texture
+    assert c["skip_bloom"] is False and c["lens_flare"] is False
+    assert c["skip_differentials"] is True  # AA disabled in tiny_cfg
+    # First frame recomputes stats (frames % 60 == 1).
+    assert d.advances[0][2] is True
+    # Sim step = real_dt * rotation_speed * 20 (reference scaled_dt).
+    assert d.advances[0][1] == pytest.approx(
+        0.05 * tiny_cfg.disk_rotation_speed * 20.0)
+
+    # Toggles: d/b/l flip flags; fov keys clamp; zoom shrinks radius.
+    sess.handle_key("d"); sess.handle_key("b"); sess.handle_key("l")
+    sess.handle_key("up"); sess.handle_key("+")
+    r0 = sess.r
+    sess.step(0.5)  # stalled frame: sim dt clamps to 0.1
+    c = r.calls[1]
+    assert c["force_differentials"] is True
+    assert c["skip_bloom"] is True and c["lens_flare"] is True
+    assert c["fov"] == tiny_cfg.fov - 5.0
+    assert sess.r == r0
+    assert d.advances[1][1] == pytest.approx(
+        0.1 * tiny_cfg.disk_rotation_speed * 20.0)
+
+    # Solo keys map to component indices; 0 resets.
+    sess.handle_key("6")
+    sess.step(0.05)
+    assert d.advances[2][3] == 5  # filaments plane
+    sess.handle_key("0")
+    sess.step(0.05)
+    assert d.advances[3][3] == -1
+
+    # Mouse drag orbits the camera (theta clamped away from the poles).
+    phi0, th0 = sess.phi, sess.theta
+    sess.handle_drag(0, 0)
+    sess.handle_drag(200, -100000)
+    assert sess.phi != phi0
+    assert 0.05 <= sess.theta <= np.pi - 0.05
+    sess.handle_drag(None, None)
+    assert sess.drag is None
+
+    # Timing split: render accounted per step, viewer via the hook.
+    assert sess.render_s > 0 and sess.frames == 4
+    sess.record_viewer_time(0.033)
+    assert sess.last_viewer_ms == pytest.approx(33.0)
+    assert "FPS" in sess.hud_text() and "view" in sess.hud_text()
+    assert "render" in sess.summary()
+
+    # Quit.
+    sess.handle_key("q")
+    assert sess.running is False
+
+
+def test_interactive_session_v2_rotates_via_t_offset(tiny_cfg):
+    """With no dynamic system (V2), rotation must flow through the
+    sampler's frame -> t_offset, not texture updates."""
+    import dataclasses
+
+    from bhr_tpu.interactive import InteractiveSession
+
+    cfg = dataclasses.replace(tiny_cfg, disk_model="v2")
+    r = _FakeRenderer()
+    sess = InteractiveSession(cfg, renderer=r, dynamic=None)
+    sess.step(0.05)
+    sess.step(0.05)
+    frames = [c["frame"] for c in r.calls]
+    assert frames[1] > frames[0] > 0
+    assert r.textures == 0

@@ -138,6 +138,7 @@ def test_filament_shear_spreads_with_age():
     assert footprint(e_old) > footprint(e_young)
 
 
+@pytest.mark.slow
 def test_dynamic_disk_visual_sanity():
     """Full system: no NaN, temporal change, steady-state texture stats
     (the reference's visual-sanity budget tests,
@@ -235,6 +236,7 @@ def test_solo_persists_full_field_stats():
     )
 
 
+@pytest.mark.slow
 def test_enable_rt_false_zeroes_rt_planes():
     """RT disabled must mean what it means in the parametric path:
     zero RT planes (no spawning at all), not just a zeroed density

@@ -30,6 +30,7 @@ def test_render_image_lifecycle(tiny_cfg):
     assert img.max() > 0.01
 
 
+@pytest.mark.slow
 def test_video_writes_frames_and_progress(tiny_cfg, tmp_path):
     cfg = dataclasses.replace(tiny_cfg, video=True)
     render_video(cfg)
@@ -41,6 +42,7 @@ def test_video_writes_frames_and_progress(tiny_cfg, tmp_path):
     assert data["params"]["n_frames"] == 3
 
 
+@pytest.mark.slow
 def test_video_resume_skips_completed(tiny_cfg, tmp_path):
     cfg = dataclasses.replace(tiny_cfg, video=True)
     render_video(cfg)
@@ -63,6 +65,7 @@ def test_video_resume_skips_completed(tiny_cfg, tmp_path):
     assert (st0b.st_mtime_ns, st0b.st_ino) == (st0.st_mtime_ns, st0.st_ino)
 
 
+@pytest.mark.slow
 def test_failed_png_write_never_marked_completed(tiny_cfg, tmp_path,
                                                  monkeypatch):
     # Regression: progress.json must only record frames whose PNGs are
@@ -130,6 +133,7 @@ def test_refresh_stats_updates_normalization():
     assert np.isfinite(np.asarray(dyn.row_stats)).all()
 
 
+@pytest.mark.slow
 def test_video_param_change_invalidates(tiny_cfg, tmp_path):
     cfg = dataclasses.replace(tiny_cfg, video=True)
     render_video(cfg)
@@ -251,6 +255,7 @@ def test_missing_disk_texture_raises(tiny_cfg):
         render_image(cfg)
 
 
+@pytest.mark.slow
 def test_corrupt_progress_json_restarts(tiny_cfg, tmp_path):
     """A truncated progress.json (pre-atomic-write runs, disk faults)
     restarts the video instead of crashing the resume path."""
@@ -307,3 +312,31 @@ def test_cli_multihost_rank_flags_require_coordinator():
         with pytest.raises(SystemExit) as exc:
             main(flags + ["-o", "x.png"])
         assert exc.value.code == 2  # argparse error exit
+
+
+def test_render_image_auto_disk_texture_uses_cache(tiny_cfg, monkeypatch,
+                                                   tmp_path):
+    """--disk_texture auto renders with the generated-and-cached static
+    texture: first run writes one .npy under the cache dir, second run
+    loads it without regenerating."""
+    import bhr_tpu.utils.cache as cache_mod
+
+    cache_dir = tmp_path / "texcache"
+    monkeypatch.setattr(cache_mod, "DEFAULT_CACHE_DIR", str(cache_dir))
+    cfg = dataclasses.replace(tiny_cfg, disk_texture="auto")
+
+    img = render_image(cfg)
+    assert img.shape == (36, 64, 3)
+    assert np.isfinite(img).all()
+    cached = list(cache_dir.iterdir())
+    assert len(cached) == 1 and cached[0].suffix == ".npy"
+
+    calls = []
+    import bhr_tpu.models.disk_texture as dt
+
+    orig = dt.generate_disk_texture
+    monkeypatch.setattr(dt, "generate_disk_texture",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    img2 = render_image(cfg)
+    assert calls == []  # cache hit: no regeneration
+    np.testing.assert_array_equal(img, img2)

@@ -14,6 +14,8 @@ from bhr_tpu.config import compute_disk_texture_resolution
 from bhr_tpu.models.dynamic_disk import DynamicDiskSystem, _recompute_stats
 from bhr_tpu.models.disk_texture import compose_from_state, build_parametric_state
 
+pytestmark = pytest.mark.slow  # see pyproject: core suite runs -m 'not slow'
+
 
 N_PHI, N_R = compute_disk_texture_resolution(
     640, 360, (6.0, 0.0, 0.5), 90.0, 2.0, 15.0

@@ -112,6 +112,7 @@ def test_window_no_ghosts_matches_full():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_window_v2_matches_full():
     """shade_frame_v2 ghost-slot windowing is exact too."""
     from bhr_tpu.models.disk_v2.params import DiskV2Params
