@@ -43,16 +43,54 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_stars", type=int, default=6000,
                    help="procedural skybox star count")
     p.add_argument("--disk_texture", type=str, default=None,
-                   help="external disk texture (static single-frame only)")
+                   help="external disk texture (static single-frame "
+                        "only), or 'auto' to generate-and-cache the "
+                        "static procedural texture "
+                        "(output/.disk_texture_cache, reference "
+                        "render.py:1152-1187)")
     p.add_argument("--disk_model", type=str, default="texture",
                    choices=["texture", "v2"],
                    help="disk shading model: procedural texture (V1) or "
                         "disk_v2 volume emission integration")
     p.add_argument("--disk_generation_scale", type=int, default=2,
                    choices=DISK_GENERATION_SCALE_CHOICES,
-                   help="[deprecated] unused by the lifecycle system")
+                   help="low-res generation factor for --disk_texture "
+                        "auto; unused by the lifecycle system")
     p.add_argument("--force_regenerate_disk_texture", action="store_true",
-                   help="[deprecated] lifecycle regenerates every frame")
+                   help="with --disk_texture auto: regenerate the cached "
+                        "static texture; otherwise inert (the lifecycle "
+                        "system regenerates every frame)")
+    v2 = p.add_argument_group(
+        "disk_v2", "volume-model knobs (with --disk_model v2); "
+        "mirrors DiskV2Params/DiskV2StructureParams"
+    )
+    v2.add_argument("--v2_palette", type=str, default="cinematic",
+                    choices=["scientific", "cinematic"],
+                    help="V2 intensity/temperature -> RGB mapping")
+    v2.add_argument("--v2_samples", type=int, default=8,
+                    help="V2 slab quadrature samples per disk crossing")
+    v2.add_argument("--v2_h0", type=float, default=0.05,
+                    help="V2 thickness fraction at r ~ r_in")
+    v2.add_argument("--v2_beta_h", type=float, default=0.05,
+                    help="V2 thickness growth power-law index")
+    v2.add_argument("--v2_rho_power", type=float, default=1.0,
+                    help="V2 midplane density radial decay exponent")
+    v2.add_argument("--v2_temp_scale", type=float, default=1.0)
+    v2.add_argument("--v2_omega_scale", type=float, default=1.0)
+    v2.add_argument("--v2_edge_softness", type=float, default=0.1,
+                    help="V2 smooth-edge width fraction, [0, 0.5)")
+    v2.add_argument("--v2_structure", action="store_true",
+                    help="enable the V2 structure modulation layer "
+                         "(m=1/m=2 modes, shear texture, hotspots)")
+    v2.add_argument("--v2_mode1_strength", type=float, default=0.03)
+    v2.add_argument("--v2_mode2_strength", type=float, default=0.05)
+    v2.add_argument("--v2_shear_strength", type=float, default=0.22)
+    v2.add_argument("--v2_shear_components", type=int, default=8)
+    v2.add_argument("--v2_hotspot_strength", type=float, default=0.16)
+    v2.add_argument("--v2_hotspot_count", type=int, default=8)
+    v2.add_argument("--v2_hotspot_phi_sigma", type=float, default=0.18)
+    v2.add_argument("--v2_hotspot_logr_sigma", type=float, default=0.12)
+    v2.add_argument("--v2_hotspot_inner_bias", type=float, default=2.0)
     p.add_argument("--disk_inner_radius", "--ar1", dest="disk_inner_radius",
                    type=float, default=R_DISK_INNER_DEFAULT)
     p.add_argument("--disk_outer_radius", "--ar2", dest="disk_outer_radius",
@@ -70,6 +108,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame_shards", type=int, default=0,
                    help="video frame shards across devices "
                         "(0 = all devices, 1 = sequential)")
+    p.add_argument("--tile_shards", type=int, default=0,
+                   help="single-frame mode: split pixel rows of the "
+                        "frame across this many devices (0/1 = off); "
+                        "for 4K/8K stills on multi-chip hosts")
     p.add_argument("--video", action="store_true")
     p.add_argument("--interactive", action="store_true")
     p.add_argument("--orbit", action="store_true")
@@ -127,6 +169,24 @@ def config_from_args(args: argparse.Namespace) -> SceneConfig:
         n_stars=args.n_stars,
         disk_texture=args.disk_texture,
         disk_model=args.disk_model,
+        v2_palette=args.v2_palette,
+        v2_samples=args.v2_samples,
+        v2_h0=args.v2_h0,
+        v2_beta_h=args.v2_beta_h,
+        v2_rho_power=args.v2_rho_power,
+        v2_temp_scale=args.v2_temp_scale,
+        v2_omega_scale=args.v2_omega_scale,
+        v2_edge_softness=args.v2_edge_softness,
+        v2_structure=args.v2_structure,
+        v2_mode1_strength=args.v2_mode1_strength,
+        v2_mode2_strength=args.v2_mode2_strength,
+        v2_shear_strength=args.v2_shear_strength,
+        v2_shear_components=args.v2_shear_components,
+        v2_hotspot_strength=args.v2_hotspot_strength,
+        v2_hotspot_count=args.v2_hotspot_count,
+        v2_hotspot_phi_sigma=args.v2_hotspot_phi_sigma,
+        v2_hotspot_logr_sigma=args.v2_hotspot_logr_sigma,
+        v2_hotspot_inner_bias=args.v2_hotspot_inner_bias,
         disk_inner_radius=args.disk_inner_radius,
         disk_outer_radius=args.disk_outer_radius,
         disk_tilt=args.disk_tilt,
@@ -135,6 +195,7 @@ def config_from_args(args: argparse.Namespace) -> SceneConfig:
         aa_strength=args.aa_strength,
         device=args.device,
         frame_shards=args.frame_shards,
+        tile_shards=args.tile_shards,
         video=args.video,
         interactive=args.interactive,
         orbit=args.orbit,

@@ -54,6 +54,32 @@ class SceneConfig:
     disk_rotation_speed: float = 0.1
     seed: int = 42
 
+    # Disk V2 (volume model) surface — mirrors DiskV2Params /
+    # DiskV2StructureParams (reference disk_v2/params.py:12-144) plus
+    # the renderer knobs (palette, quadrature samples). r_in/r_out come
+    # from disk_inner_radius/disk_outer_radius.
+    v2_palette: str = "cinematic"  # "scientific" | "cinematic"
+    v2_samples: int = 8  # slab quadrature samples per crossing
+    v2_h0: float = 0.05
+    v2_beta_h: float = 0.05
+    v2_rho_power: float = 1.0
+    v2_temp_scale: float = 1.0
+    v2_omega_scale: float = 1.0
+    v2_edge_softness: float = 0.1
+    # Structure modulation layer (off by default, like the reference's
+    # model-less default track); strengths validated by
+    # DiskV2StructureParams.__post_init__.
+    v2_structure: bool = False
+    v2_mode1_strength: float = 0.03
+    v2_mode2_strength: float = 0.05
+    v2_shear_strength: float = 0.22
+    v2_shear_components: int = 8
+    v2_hotspot_strength: float = 0.16
+    v2_hotspot_count: int = 8
+    v2_hotspot_phi_sigma: float = 0.18
+    v2_hotspot_logr_sigma: float = 0.12
+    v2_hotspot_inner_bias: float = 2.0
+
     # Post-FX / AA
     lens_flare: bool = False
     anti_alias: str = "disabled"  # "disabled" | "lod_radius"
@@ -76,6 +102,10 @@ class SceneConfig:
     # Device / parallelism
     device: str = "auto"  # "auto" | "tpu" | "cpu"
     frame_shards: int = 0  # 0 = all local devices
+    # Single-frame spatial sharding: split pixel rows of ONE frame over
+    # this many devices ("tile" mesh axis; 0/1 = off). For large stills
+    # (4K/8K) on a pod slice; video shards whole frames instead.
+    tile_shards: int = 0
 
     # Deprecated (accepted, ignored — reference render.py:4540-4582)
     disk_generation_scale: int = 2
@@ -138,6 +168,21 @@ class SceneConfig:
             raise ValueError(f"unknown anti_alias mode: {self.anti_alias}")
         if self.disk_model not in ("texture", "v2"):
             raise ValueError(f"unknown disk_model: {self.disk_model}")
+        if self.v2_palette not in ("scientific", "cinematic"):
+            raise ValueError(
+                f"v2_palette must be 'scientific' or 'cinematic', "
+                f"got {self.v2_palette!r}"
+            )
+        if self.v2_samples <= 0:
+            raise ValueError(
+                f"v2_samples must be positive, got {self.v2_samples}"
+            )
+        if self.disk_model == "v2":
+            # Construct the param objects so their validators run at
+            # config time (fail fast on e.g. mode strengths summing
+            # past 1) instead of deep inside the jitted pipeline.
+            self.v2_params()
+            self.v2_structure_params()
         if self.disk_texture and (self.video or self.interactive):
             raise ValueError(
                 "disk_texture only supports static single-frame rendering; "
@@ -148,6 +193,21 @@ class SceneConfig:
                 "disk_texture is a V1 (texture-model) input; the v2 disk "
                 "model shades by volume integration and takes no texture"
             )
+        if self.tile_shards < 0:
+            raise ValueError(
+                f"tile_shards must be >= 0, got {self.tile_shards}")
+        if self.tile_shards > 1:
+            if self.video or self.interactive:
+                raise ValueError(
+                    "tile_shards applies to single-frame rendering only; "
+                    "video shards whole frames (--frame_shards)"
+                )
+            height = self.image_size[1]
+            if height % self.tile_shards != 0:
+                raise ValueError(
+                    f"image height {height} is not divisible by "
+                    f"tile_shards {self.tile_shards}"
+                )
         if self.disk_generation_scale not in DISK_GENERATION_SCALE_CHOICES:
             raise ValueError(
                 f"disk_generation_scale must be one of "
@@ -156,6 +216,39 @@ class SceneConfig:
         if self.resolution not in RESOLUTIONS:
             raise ValueError(f"unknown resolution preset: {self.resolution}")
         return self
+
+    def v2_params(self):
+        """Build the DiskV2Params for this scene (disk_model='v2')."""
+        from .models.disk_v2.params import DiskV2Params
+
+        return DiskV2Params(
+            r_in=float(self.disk_inner_radius),
+            r_out=float(self.disk_outer_radius),
+            h0=float(self.v2_h0),
+            beta_h=float(self.v2_beta_h),
+            rho_power=float(self.v2_rho_power),
+            temp_scale=float(self.v2_temp_scale),
+            omega_scale=float(self.v2_omega_scale),
+            edge_softness=float(self.v2_edge_softness),
+        )
+
+    def v2_structure_params(self):
+        """DiskV2StructureParams when v2_structure is on, else None."""
+        if not self.v2_structure:
+            return None
+        from .models.disk_v2.params import DiskV2StructureParams
+
+        return DiskV2StructureParams(
+            mode1_strength=float(self.v2_mode1_strength),
+            mode2_strength=float(self.v2_mode2_strength),
+            shear_strength=float(self.v2_shear_strength),
+            shear_components=int(self.v2_shear_components),
+            hotspot_strength=float(self.v2_hotspot_strength),
+            hotspot_count=int(self.v2_hotspot_count),
+            hotspot_phi_sigma=float(self.v2_hotspot_phi_sigma),
+            hotspot_logr_sigma=float(self.v2_hotspot_logr_sigma),
+            hotspot_inner_bias=float(self.v2_hotspot_inner_bias),
+        )
 
     @property
     def use_ray_differentials(self) -> bool:

@@ -34,29 +34,37 @@ from .utils.io import (
 )
 
 
-def _make_renderer(config: SceneConfig,
-                   r_escape_quantum: float = 0.0,
-                   r_escape_override: Optional[float] = None) -> tuple:
-    """Build renderer + (optional) dynamic disk system for a config.
+def _scene_assets(config: SceneConfig) -> tuple:
+    """(skybox, disk_tex_or_None, dynamic_or_None) for a config.
 
-    Single construction path for every mode (image/video/interactive);
-    ``r_escape_quantum`` is forwarded to :class:`Renderer` (interactive
-    zoom uses it to bound recompiles); ``r_escape_override`` pins the
-    trace's escape radius (orbit video passes the scene constant so the
-    per-frame value can't drift by ulps and recompile mid-video)."""
+    ONE texture-source policy for every engine (per-frame Renderer and
+    the sharded tile path): V2 -> no texture; disk_texture='auto' ->
+    the .npy cache (reference render.py:1152-1187 key format, generated
+    once per radii/seed/camera-size/scale, reloaded on later runs,
+    --force_regenerate_disk_texture bypasses); an explicit path -> load
+    or fail loudly; otherwise the lifecycle placeholder + dynamic
+    system.
+    """
     width, height = config.image_size
     skybox, _, _ = load_or_generate_skybox(
         config.texture, 2048, 1024, config.n_stars, seed=config.skybox_seed
     )
-
-    dynamic = None
     if config.disk_model == "v2":
         # V2 shades by volume integration — no disk texture needed
         # (config.validated() rejects v2 + disk_texture).
-        renderer = Renderer(config, skybox, None,
-                            r_escape_quantum=r_escape_quantum,
-                            r_escape_override=r_escape_override)
-        return renderer, None
+        return skybox, None, None
+    if config.disk_texture == "auto":
+        from .utils.cache import load_cached_disk_texture
+
+        disk_tex = load_cached_disk_texture(
+            width, height, list(config.pov), config.fov,
+            seed=config.seed,
+            r_inner=config.disk_inner_radius,
+            r_outer=config.disk_outer_radius,
+            force=config.force_regenerate_disk_texture,
+            generation_scale=config.disk_generation_scale,
+        )
+        return skybox, disk_tex, None
     disk_tex = load_disk_texture(config.disk_texture)
     if config.disk_texture is not None and disk_tex is None:
         # Fail loudly: silently falling back to the procedural lifecycle
@@ -65,6 +73,7 @@ def _make_renderer(config: SceneConfig,
         raise FileNotFoundError(
             f"--disk_texture not found or unreadable: {config.disk_texture}"
         )
+    dynamic = None
     if disk_tex is None:
         n_phi, n_r = compute_disk_texture_resolution(
             width, height, config.pov, config.fov,
@@ -75,7 +84,20 @@ def _make_renderer(config: SceneConfig,
             seed=config.seed,
         )
         disk_tex = np.zeros((n_r, n_phi, 4), np.float32)
+    return skybox, disk_tex, dynamic
 
+
+def _make_renderer(config: SceneConfig,
+                   r_escape_quantum: float = 0.0,
+                   r_escape_override: Optional[float] = None) -> tuple:
+    """Build renderer + (optional) dynamic disk system for a config.
+
+    Single construction path for every mode (image/video/interactive);
+    ``r_escape_quantum`` is forwarded to :class:`Renderer` (interactive
+    zoom uses it to bound recompiles); ``r_escape_override`` pins the
+    trace's escape radius (orbit video passes the scene constant so the
+    per-frame value can't drift by ulps and recompile mid-video)."""
+    skybox, disk_tex, dynamic = _scene_assets(config)
     renderer = Renderer(config, skybox, disk_tex,
                         r_escape_quantum=r_escape_quantum,
                         r_escape_override=r_escape_override)
@@ -103,7 +125,7 @@ def video_resume_params(config: SceneConfig, *, sharded: bool = False) -> Dict:
     from invalidation (the scene is identical across engines).
     """
     width, height = config.image_size
-    return {
+    params = {
         "n_frames": config.n_frames,
         "fov": config.fov,
         "orbit": config.orbit,
@@ -128,6 +150,31 @@ def video_resume_params(config: SceneConfig, *, sharded: bool = False) -> Dict:
         "lens_flare": bool(config.lens_flare),
         "sharded": bool(sharded),
     }
+    if config.disk_model == "v2":
+        # Every V2 knob changes frame content. Keyed only for V2 runs so
+        # texture-model progress files stay byte-compatible across
+        # versions that predate the V2 surface.
+        params["v2"] = {
+            "palette": config.v2_palette,
+            "samples": int(config.v2_samples),
+            "h0": float(config.v2_h0),
+            "beta_h": float(config.v2_beta_h),
+            "rho_power": float(config.v2_rho_power),
+            "temp_scale": float(config.v2_temp_scale),
+            "omega_scale": float(config.v2_omega_scale),
+            "edge_softness": float(config.v2_edge_softness),
+            "structure": bool(config.v2_structure),
+            "mode1_strength": float(config.v2_mode1_strength),
+            "mode2_strength": float(config.v2_mode2_strength),
+            "shear_strength": float(config.v2_shear_strength),
+            "shear_components": int(config.v2_shear_components),
+            "hotspot_strength": float(config.v2_hotspot_strength),
+            "hotspot_count": int(config.v2_hotspot_count),
+            "hotspot_phi_sigma": float(config.v2_hotspot_phi_sigma),
+            "hotspot_logr_sigma": float(config.v2_hotspot_logr_sigma),
+            "hotspot_inner_bias": float(config.v2_hotspot_inner_bias),
+        }
+    return params
 
 
 def load_video_progress(config: SceneConfig, temp_dir: str,
@@ -178,7 +225,20 @@ def load_video_progress(config: SceneConfig, temp_dir: str,
 
 def render_image(config: SceneConfig) -> np.ndarray:
     """Render one frame; dynamic texture generated by the lifecycle
-    system at t=0 unless an external disk texture is given."""
+    system at t=0 unless an external disk texture is given.
+
+    With ``tile_shards > 1`` the frame's pixel rows shard across
+    devices (parallel.frames.render_image_tiled) — same image, traced
+    in parallel."""
+    if config.tile_shards > 1:
+        from .parallel.frames import render_image_tiled
+
+        t0 = time.time()
+        img = render_image_tiled(config)
+        print(f"Rendered {config.image_size[0]}x{config.image_size[1]} "
+              f"({config.tile_shards} tile shards) "
+              f"in {time.time() - t0:.2f}s")
+        return img
     renderer, dynamic = _make_renderer(config)
     if dynamic is not None:
         tex = dynamic.advance(t=0.0, dt=0.0, recompute_stats=True)

@@ -478,19 +478,19 @@ class Renderer:
         if fn is None:
             cfg = self.config
             if cfg.disk_model == "v2":
-                from .models.disk_v2.params import DiskV2Params
-
-                v2_params = DiskV2Params(
-                    r_in=float(cfg.disk_inner_radius),
-                    r_out=float(cfg.disk_outer_radius),
-                )
+                # Full V2 surface from the config: body params, optional
+                # structure modulation, palette, quadrature samples.
+                v2_params = cfg.v2_params()
+                v2_structure = cfg.v2_structure_params()
 
                 def shade_v2(trace, skybox_q, disk_qmips, cam_pos, t_offset):
                     return shade_frame_v2(
                         trace, skybox_q, cam_pos,
-                        v2_params=v2_params, v2_structure=None,
+                        v2_params=v2_params, v2_structure=v2_structure,
                         tilt_deg=float(cfg.disk_tilt),
                         t_offset=t_offset,
+                        palette=cfg.v2_palette,
+                        n_samples=int(cfg.v2_samples),
                         seed=int(cfg.seed),
                         image_shape=(self.height, self.width),
                     )

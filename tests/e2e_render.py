@@ -50,12 +50,17 @@ XB_MEAN_ABS_TOL = 5e-4
 #   default — plain texture disk, AA off.
 #   aa      — ray-differential AA (diff RK4 transport + mip-LOD).
 #   v2      — disk_v2 volume renderer (slab radiative transfer).
+#   v2sci   — V2 with the scientific palette AND the structure
+#             modulation layer on (modes/shear/hotspots) — the full
+#             DiskV2StructureParams surface none of the others touch.
 #   flare   — lens-flare stack (ghosts/rings/hex/streaks, ops/lens_flare).
 # ``aa=True`` is accepted as an alias for scene="aa".
 SCENES = {
     "default": {},
     "aa": {"anti_alias": "lod_radius"},
     "v2": {"disk_model": "v2"},
+    "v2sci": {"disk_model": "v2", "v2_palette": "scientific",
+              "v2_structure": True},
     "flare": {"lens_flare": True},
 }
 _SUFFIXES = {name: ("" if name == "default" else f"_{name}")

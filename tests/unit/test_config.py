@@ -122,3 +122,53 @@ def test_v2_model_never_traces_ray_differentials():
     v1 = SceneConfig(anti_alias="lod_radius").validated()
     assert v1.use_ray_differentials is True
     assert SceneConfig().validated().use_ray_differentials is False
+
+
+def test_v2_surface_validation():
+    """The V2 knobs validate at config time: palette/samples directly,
+    body + structure params through the DiskV2*Params validators."""
+    import pytest
+
+    cfg = SceneConfig(
+        disk_model="v2", v2_palette="scientific", v2_samples=4,
+        v2_structure=True, v2_hotspot_count=3,
+    ).validated()
+    assert cfg.v2_params().r_in == cfg.disk_inner_radius
+    sp = cfg.v2_structure_params()
+    assert sp is not None and sp.hotspot_count == 3
+    # Structure off -> None (pipeline skips the modulation stack).
+    assert SceneConfig(disk_model="v2").validated().v2_structure_params() \
+        is None
+    with pytest.raises(ValueError):
+        SceneConfig(disk_model="v2", v2_palette="neon").validated()
+    with pytest.raises(ValueError):
+        SceneConfig(disk_model="v2", v2_samples=0).validated()
+    # DiskV2Params validator reached from config validation:
+    with pytest.raises(ValueError):
+        SceneConfig(disk_model="v2", v2_h0=-1.0).validated()
+    # DiskV2StructureParams validator (mode strengths must sum < 1):
+    with pytest.raises(ValueError):
+        SceneConfig(disk_model="v2", v2_structure=True,
+                    v2_mode1_strength=0.6,
+                    v2_mode2_strength=0.6).validated()
+    # Texture model never constructs V2 params -> bad v2 knobs are
+    # inert there (they affect nothing).
+    SceneConfig(v2_h0=-1.0).validated()
+
+
+def test_v2_cli_flags_reach_config():
+    from bhr_tpu.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args([
+        "--disk_model", "v2", "--v2_palette", "scientific",
+        "--v2_samples", "12", "--v2_structure",
+        "--v2_shear_strength", "0.1", "--v2_hotspot_count", "5",
+        "--v2_h0", "0.08",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.v2_palette == "scientific"
+    assert cfg.v2_samples == 12
+    assert cfg.v2_structure is True
+    assert cfg.v2_shear_strength == 0.1
+    assert cfg.v2_hotspot_count == 5
+    assert cfg.v2_params().h0 == 0.08
