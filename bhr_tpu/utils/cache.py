@@ -42,7 +42,7 @@ def load_cached_disk_texture(
     r_outer: float = 3.5,
     force: bool = False,
     generation_scale: int = 2,
-    cache_dir: str = DEFAULT_CACHE_DIR,
+    cache_dir: Optional[str] = None,
 ) -> np.ndarray:
     """Load or generate-and-cache the static disk texture.
 
@@ -62,6 +62,10 @@ def load_cached_disk_texture(
     else:
         n_phi, n_r = 1024, 512
 
+    if cache_dir is None:
+        # Resolved at call time so tests (and embedders) can repoint
+        # DEFAULT_CACHE_DIR.
+        cache_dir = DEFAULT_CACHE_DIR
     key = texture_cache_key(r_inner, r_outer, seed, n_phi, n_r, generation_scale)
     path = os.path.join(cache_dir, key)
     if not force and os.path.exists(path):
