@@ -76,14 +76,22 @@ def build_ray_march_kernel(
     exit_check_every: Optional[int] = None,
     record_step_counts: bool = False,
     interpret: bool = False,
+    row_count: Optional[int] = None,
 ):
     """Build the tiled ray-march pallas_call for a static configuration.
 
-    Returns a function (cam_params (14,) f32) -> (captured, escaped,
-    escape_dir, hit_count, hits) with shapes ((H,W), (H,W), (3,H,W),
-    (H,W) i32, (K, HIT_FEATURES, H, W)) on the *padded* grid; the wrapper
-    crops.
+    Returns a function (cam_params (14,) f32, row_start scalar) ->
+    (captured, escaped, escape_dir, hit_count, hits) with shapes
+    ((R,W), (R,W), (3,R,W), (R,W) i32, (K, HIT_FEATURES, R, W)) on the
+    *padded* grid; the wrapper crops. ``row_count`` (R, default
+    ``height``) with a nonzero ``row_start`` traces a horizontal band
+    of the ``width`` x ``height`` image plane — the spatial-shard
+    ("tile" mesh axis) path; the camera geometry always uses the FULL
+    frame dimensions (same convention as ops/geodesic.
+    primary_rays_from_arrays).
     """
+    if row_count is None:
+        row_count = height
     if exit_check_every is None:
         # Unrolling 8 steps per exit check amortizes the tile-wide
         # max-reduction + loop overhead (25.5 -> 18.8 ms at FHD on
@@ -102,15 +110,19 @@ def build_ray_march_kernel(
     k_slots = max_crossings
     n_feat = HIT_FEATURES if with_differentials else 5
 
-    pad_h = -height % block_rows
+    pad_h = -row_count % block_rows
     pad_w = -width % block_cols
-    hp, wp = height + pad_h, width + pad_w
+    hp, wp = row_count + pad_h, width + pad_w
     grid = (hp // block_rows, wp // block_cols)
 
-    def kernel(cam_ref, captured_ref, escaped_ref, escdir_ref, count_ref,
-               hits_ref, *extra_refs):
+    def kernel(cam_ref, row0_ref, captured_ref, escaped_ref, escdir_ref,
+               count_ref, hits_ref, *extra_refs):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
+        # Dynamic pixel-row origin (SMEM scalar): lets a spatial shard
+        # trace rows [row0, row0 + height) of a larger frame — the
+        # "tile" mesh axis for single large frames. 0 for whole frames.
+        row0 = row0_ref[0, 0].astype(jnp.float32)
 
         cx, cy, cz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
         rx, ry, rz = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
@@ -129,7 +141,7 @@ def build_ray_march_kernel(
         cols = jax.lax.broadcasted_iota(
             jnp.int32, (block_rows, block_cols), 1
         ).astype(jnp.float32)
-        py_pix = rows + ti.astype(jnp.float32) * block_rows
+        py_pix = rows + ti.astype(jnp.float32) * block_rows + row0
         px_pix = cols + tj.astype(jnp.float32) * block_cols
 
         def ray_dir(px_off, py_off):
@@ -480,14 +492,19 @@ def build_ray_march_kernel(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((1, CAM_PARAMS), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM)],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
     )
 
-    def run(cam_params: jnp.ndarray):
-        return call(cam_params.reshape(1, CAM_PARAMS).astype(jnp.float32))
+    def run(cam_params: jnp.ndarray, row_start=0):
+        row0 = jnp.asarray(row_start, jnp.float32).reshape(1, 1)
+        return call(
+            cam_params.reshape(1, CAM_PARAMS).astype(jnp.float32), row0
+        )
 
     return run, (hp, wp)
 
@@ -498,11 +515,12 @@ def build_ray_march_kernel(
         "width", "height", "h_base", "r_escape", "rs", "tilt_deg",
         "r_inner", "r_outer", "with_differentials", "max_crossings",
         "record_hits", "block_rows", "block_cols", "exit_check_every",
-        "record_step_counts", "interpret",
+        "record_step_counts", "interpret", "row_count",
     ),
 )
 def trace_geodesics_pallas(
     cam_params: jnp.ndarray,
+    row_start=0,
     *,
     width: int,
     height: int,
@@ -520,15 +538,20 @@ def trace_geodesics_pallas(
     exit_check_every: Optional[int] = None,
     record_step_counts: bool = False,
     interpret: bool = False,
+    row_count: Optional[int] = None,
 ) -> TraceResult:
-    """Tiled Pallas trace -> TraceResult with flat (H*W) ray order.
+    """Tiled Pallas trace -> TraceResult with flat (R*W) ray order.
 
     ``cam_params`` is the (14,) camera vector (see CAM_PARAMS layout).
     Output matches ops/geodesic.trace_geodesics on the same scene.
+    ``row_start`` (traced ok) + ``row_count`` (static, default
+    ``height``) trace a horizontal band of the full image plane — the
+    spatial-shard path (same convention as primary_rays_from_arrays).
     With ``record_step_counts`` the kernel also counts the RK4 steps
     each ray actually integrates (``TraceResult.steps`` becomes (N,)
     int32) — diagnostics / the Mray-steps/s benchmark metric.
     """
+    rows = height if row_count is None else row_count
     run, (hp, wp) = build_ray_march_kernel(
         width=width, height=height, h_base=h_base, r_escape=r_escape,
         rs=rs, tilt_deg=tilt_deg, r_inner=r_inner, r_outer=r_outer,
@@ -536,18 +559,21 @@ def trace_geodesics_pallas(
         record_hits=record_hits, block_rows=block_rows, block_cols=block_cols,
         exit_check_every=exit_check_every,
         record_step_counts=record_step_counts, interpret=interpret,
+        row_count=row_count,
     )
-    captured, escaped, escdir, count, hits, *extra = run(cam_params)
+    captured, escaped, escdir, count, hits, *extra = run(
+        cam_params, row_start
+    )
 
-    captured = captured[:height, :width]
-    escaped = escaped[:height, :width]
-    escdir = escdir[:, :height, :width]
-    count = count[:height, :width]
-    hits = hits[:, :, :height, :width]
+    captured = captured[:rows, :width]
+    escaped = escaped[:rows, :width]
+    escdir = escdir[:, :rows, :width]
+    count = count[:rows, :width]
+    hits = hits[:, :, :rows, :width]
 
-    n = height * width
+    n = rows * width
     if record_step_counts:
-        steps = extra[0][:height, :width].reshape(n)
+        steps = extra[0][:rows, :width].reshape(n)
     else:
         steps = jnp.zeros((), jnp.int32)
     return TraceResult(

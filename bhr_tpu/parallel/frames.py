@@ -73,6 +73,8 @@ def build_sharded_frame_renderer(
     r_escape: float,
     has_disk: bool = True,
     use_diff: bool = False,
+    use_pallas: bool = False,
+    return_layers: bool = False,
 ):
     """Compile a sharded renderer: (skybox_q, disk_qmips, cam_pack,
     t_offsets) -> (F, H, W, 3) background+disk composite, sharded over
@@ -80,6 +82,13 @@ def build_sharded_frame_renderer(
     pack_quad_mips).
 
     F = frames_per_device * mesh.shape["frames"]; H splits over "tile".
+    ``use_pallas`` traces each shard's row band with the production
+    Pallas kernel (row_start plumbed through its SMEM scalar) instead
+    of the pure-JAX lock-step loop. ``return_layers`` returns
+    (F, 2, H, W, 3) stacked (bg, disk) layers instead of the clipped
+    composite — for callers that still need the global lens stack
+    (bloom is a frame-wide convolution, so it runs AFTER the shard_map,
+    where XLA inserts the resharding collective automatically).
     """
     n_tile = mesh.shape["tile"]
     if height % n_tile != 0:
@@ -97,24 +106,31 @@ def build_sharded_frame_renderer(
             cam, t_off = args
             pos, right, up, fwd = cam[0:3], cam[3:6], cam[6:9], cam[9:12]
             pw, ph = cam[12], cam[13]
-            dirs, ddx, ddy = geodesic.primary_rays_from_arrays(
-                pos, right, up, fwd, pw, ph, width, height,
-                row_start=row_start, row_count=rows_local,
-            )
-            trace = geodesic.trace_geodesics(
-                pos,
-                dirs,
+            trace_kwargs = dict(
                 h_base=float(cfg.step_size),
                 r_escape=float(r_escape),
                 tilt_deg=float(cfg.disk_tilt),
                 r_inner=float(cfg.disk_inner_radius),
                 r_outer=float(cfg.disk_outer_radius),
                 with_differentials=use_diff,
-                d_dir_dx0=ddx,
-                d_dir_dy0=ddy,
                 max_crossings=MAX_DISK_CROSSINGS,
                 record_hits=has_disk,
             )
+            if use_pallas:
+                from ..ops.geodesic_pallas import trace_geodesics_pallas
+
+                trace = trace_geodesics_pallas(
+                    cam, row_start, width=width, height=height,
+                    row_count=rows_local, **trace_kwargs,
+                )
+            else:
+                dirs, ddx, ddy = geodesic.primary_rays_from_arrays(
+                    pos, right, up, fwd, pw, ph, width, height,
+                    row_start=row_start, row_count=rows_local,
+                )
+                trace = geodesic.trace_geodesics(
+                    pos, dirs, d_dir_dx0=ddx, d_dir_dy0=ddy, **trace_kwargs,
+                )
             bg, disk_rgb, _ = shade_frame(
                 trace,
                 skybox,
@@ -129,6 +145,11 @@ def build_sharded_frame_renderer(
                 aa_strength=float(cfg.aa_strength),
                 image_shape=(rows_local, width),
             )
+            if return_layers:
+                return jnp.stack(
+                    [bg.reshape(rows_local, width, 3),
+                     disk_rgb.reshape(rows_local, width, 3)], axis=0
+                )
             img = jnp.clip(bg + disk_rgb, 0.0, 1.0)
             return img.reshape(rows_local, width, 3)
 
@@ -138,7 +159,9 @@ def build_sharded_frame_renderer(
         render_block,
         mesh=mesh,
         in_specs=(P(), P(), P("frames"), P("frames")),
-        out_specs=P("frames", "tile"),
+        # Layer output is (F, layer, H, W, 3): rows move to dim 2.
+        out_specs=(P("frames", None, "tile") if return_layers
+                   else P("frames", "tile")),
         check_vma=False,
     )
     jitted = jax.jit(sharded)
@@ -166,3 +189,82 @@ def build_sharded_frame_renderer(
         return jitted(skybox, disk_mips, cam_pack, t_offsets)
 
     return render
+
+
+def render_image_tiled(config: SceneConfig) -> np.ndarray:
+    """Single-frame render with pixel rows sharded over ``tile_shards``
+    devices — the production user of the "tile" mesh axis.
+
+    4K/8K stills on a multi-chip host trace in parallel (the geodesic
+    integration dominates frame cost and is embarrassingly parallel
+    over rows); the frame-global lens stack (bloom convolution, flare)
+    runs after the shard_map on the gathered layers, where XLA inserts
+    the resharding collective automatically. Matches modes.render_image
+    output for the same scene (tests/unit/test_sharded_frames.py).
+    """
+    import jax
+
+    from ..camera import build_camera
+    from ..config import escape_radius
+    from ..modes import _scene_assets
+    from ..ops.bloom import apply_bloom
+    from ..ops.lens_flare import apply_lens_flare
+    from ..ops.sampling import (
+        build_mipmaps,
+        pack_quad,
+        pack_quad_mips,
+        production_tex_dtype,
+        quantize_packed,
+    )
+    from .mesh import make_frame_mesh
+
+    if config.disk_model == "v2":
+        raise ValueError(
+            "tile_shards currently supports the texture disk model only"
+        )
+    n_tile = int(config.tile_shards)
+    devices = jax.devices()
+    if len(devices) < n_tile:
+        raise ValueError(
+            f"tile_shards={n_tile} but only {len(devices)} devices visible"
+        )
+    width, height = config.image_size
+    skybox, disk_tex, dynamic = _scene_assets(config)
+    if dynamic is not None:
+        disk_tex = dynamic.advance(t=0.0, dt=0.0, recompute_stats=True)
+
+    tex_dtype = production_tex_dtype()
+    skybox_q = jax.jit(
+        lambda t: quantize_packed(pack_quad(t), tex_dtype)
+    )(jnp.asarray(skybox, jnp.float32))
+    use_diff = config.use_ray_differentials
+    tex = jnp.asarray(disk_tex, jnp.float32)
+    if use_diff:
+        qmips = quantize_packed(
+            pack_quad_mips(build_mipmaps(tex, levels=4)), tex_dtype
+        )
+    else:
+        qmips = quantize_packed(pack_quad(tex), tex_dtype)[None]
+
+    mesh = make_frame_mesh(1, n_tile, devices=devices[:n_tile])
+    use_pallas = jax.default_backend() == "tpu"
+    render = build_sharded_frame_renderer(
+        mesh, config, width, height, frames_per_device=1,
+        r_escape=escape_radius(config.r_max, config.pov),
+        has_disk=True, use_diff=use_diff, use_pallas=use_pallas,
+        return_layers=True,
+    )
+    cam = build_camera(config.pov, config.fov, width, height)
+    cam_pack = jnp.asarray(pack_cameras([cam]))
+    layers = render(skybox_q, qmips, cam_pack, jnp.zeros((1,), jnp.float32))
+
+    @jax.jit
+    def post(layers):
+        bg_img, disk_img = layers[0, 0], layers[0, 1]
+        blur = apply_bloom(disk_img, width_ref=width)
+        final = jnp.clip(bg_img + disk_img + blur, 0.0, 1.0)
+        if config.lens_flare:
+            final = apply_lens_flare(final, disk_img)
+        return final
+
+    return np.asarray(jax.device_get(post(layers)))

@@ -85,3 +85,74 @@ def test_sharded_matches_single_device(tiny_scene):
     diff = np.abs(out_multi - out_single)
     assert (diff < 2e-5).mean() > 0.99
     assert diff.max() < 5e-3
+
+
+def test_render_image_tiled_matches_sequential(monkeypatch):
+    """--tile_shards N must produce the SAME image as the per-frame
+    Renderer path (same scene, bloom included) — the production user of
+    the "tile" mesh axis (VERDICT r1 #3)."""
+    from bhr_tpu.modes import render_image
+
+    cfg = SceneConfig(
+        width=64, height=32, fov=60.0, step_size=0.3, n_stars=100,
+        disk_inner_radius=2.0, disk_outer_radius=3.5, disk_tilt=15.0,
+    ).validated()
+    seq = render_image(cfg)
+    tiled = render_image(
+        SceneConfig(**{**cfg.__dict__, "tile_shards": 4}).validated()
+    )
+    assert tiled.shape == seq.shape
+    # Same backend, same math graph per row band; tolerance covers
+    # XLA reduction-order drift across the shard boundary only.
+    np.testing.assert_allclose(tiled, seq, atol=2e-5)
+
+
+def test_tile_shards_validation():
+    with pytest.raises(ValueError):
+        SceneConfig(width=64, height=30, tile_shards=4).validated()
+    with pytest.raises(ValueError):
+        SceneConfig(video=True, tile_shards=4).validated()
+    from bhr_tpu.parallel.frames import render_image_tiled
+
+    with pytest.raises(ValueError):
+        render_image_tiled(SceneConfig(
+            width=64, height=32, tile_shards=16).validated())  # > devices
+    with pytest.raises(ValueError):
+        render_image_tiled(SceneConfig(
+            width=64, height=32, tile_shards=4, disk_model="v2",
+        ).validated())
+
+
+def test_pallas_row_band_matches_full_frame():
+    """The kernel's dynamic row_start/row_count band (the tile-shard
+    path) must reproduce the corresponding rows of a full-frame trace."""
+    import jax.numpy as jnp
+
+    from bhr_tpu.camera import build_camera
+    from bhr_tpu.ops.geodesic_pallas import (
+        camera_params,
+        trace_geodesics_pallas,
+    )
+
+    W, H = 48, 24
+    cam = build_camera([6.0, 0.0, 0.5], 60.0, W, H)
+    cp = jnp.asarray(camera_params(cam))
+    kw = dict(
+        width=W, height=H, h_base=0.3, r_escape=12.04,
+        tilt_deg=15.0, r_inner=2.0, r_outer=3.5,
+        with_differentials=False, interpret=True,
+        block_rows=8, block_cols=16,
+    )
+    full = trace_geodesics_pallas(cp, **kw)
+    band = trace_geodesics_pallas(cp, 8, row_count=8, **kw)
+    sel = slice(8 * W, 16 * W)
+    np.testing.assert_array_equal(
+        np.asarray(band.captured), np.asarray(full.captured)[sel])
+    np.testing.assert_array_equal(
+        np.asarray(band.hit_count), np.asarray(full.hit_count)[sel])
+    np.testing.assert_allclose(
+        np.asarray(band.hits), np.asarray(full.hits)[:, :, sel],
+        rtol=0, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(band.escape_dir), np.asarray(full.escape_dir)[sel],
+        rtol=0, atol=0)
