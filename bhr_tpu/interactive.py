@@ -109,131 +109,212 @@ def _open_window(config: SceneConfig):
     return plt, fig, ax
 
 
-def _run_matplotlib(config: SceneConfig, window) -> None:
-    """Matplotlib interactive loop with reference-equivalent controls."""
-    plt, fig, ax = window
-    renderer, dynamic = _build(config)
-    cam = np.asarray(config.pov, dtype=np.float64)
-    state = {
-        "r": float(np.linalg.norm(cam)),
-        "theta": float(np.arccos(np.clip(cam[2] / np.linalg.norm(cam), -1, 1))),
-        "phi": float(np.arctan2(cam[1], cam[0])),
-        "fov": config.fov,
+class InteractiveSession:
+    """The interactive loop's state + per-frame logic, viewer-agnostic.
+
+    Everything the matplotlib window does besides pixels-on-screen lives
+    here so it runs (and is tested) headlessly: camera spherical state,
+    key/mouse handling, lifecycle advance, render dispatch, and the
+    render-vs-viewer timing split the HUD reports. The reference's
+    equivalent is the ti.GUI body (render.py:4227-4348)."""
+
+    def __init__(self, config: SceneConfig, renderer=None, dynamic=None):
+        if renderer is None:
+            renderer, dynamic = _build(config)
+        self.config = config
+        self.renderer = renderer
+        self.dynamic = dynamic
+        cam = np.asarray(config.pov, dtype=np.float64)
+        self.r = float(np.linalg.norm(cam))
+        self.theta = float(np.arccos(np.clip(cam[2] / self.r, -1, 1)))
+        self.phi = float(np.arctan2(cam[1], cam[0]))
+        self.fov = config.fov
         # 'd' toggles the differential+mip-LOD path live (inert for V2,
         # which has no LOD path); start from the launch config.
-        "diff": config.use_ray_differentials,
-        "bloom": True,
-        "flare": False,
-        "solo": -1,
-        "running": True,
-        "drag": None,
-    }
+        self.diff = config.use_ray_differentials
+        self.bloom = True
+        self.flare = False
+        self.solo = -1
+        self.running = True
+        self.drag = None
+        self.wall_time = 0.0
+        self.frames = 0
+        self.fps = 0.0
+        # Per-stage accounting: sim+render (device) vs viewer (display)
+        # wall time, so a slow session is attributable at a glance.
+        self.render_s = 0.0
+        self.viewer_s = 0.0
+        self.last_render_ms = 0.0
+        self.last_viewer_ms = 0.0
+
+    # -- input -------------------------------------------------------------
+
+    def handle_key(self, k, screenshot_img=None) -> None:
+        if k in ("q", "escape"):
+            self.running = False
+        elif k == "d":
+            self.diff = not self.diff
+        elif k == "b":
+            self.bloom = not self.bloom
+        elif k == "l":
+            self.flare = not self.flare
+        elif k == "up":
+            self.fov = max(10.0, self.fov - 5.0)
+        elif k == "down":
+            self.fov = min(170.0, self.fov + 5.0)
+        elif k in ("+", "="):
+            self.r = max(2.0, self.r * 0.97)
+        elif k == "-":
+            self.r *= 1.03
+        elif k == "0":
+            self.solo = -1
+        elif k in _SOLO_KEYS:
+            self.solo = _SOLO_KEYS[k]
+        elif k == "s" and screenshot_img is not None:
+            path = f"output/screenshot_{int(time.time())}.png"
+            save_image(np.asarray(screenshot_img), path)
+            print(f"Screenshot: {path}")
+
+    def handle_drag(self, x, y) -> None:
+        if self.drag is None or x is None:
+            self.drag = (x, y) if x is not None else None
+            return
+        dx = (x - self.drag[0]) / 200.0
+        dy = (y - self.drag[1]) / 200.0
+        self.phi -= dx
+        self.theta = float(np.clip(self.theta - dy, 0.05, np.pi - 0.05))
+        self.drag = (x, y)
+
+    def cam_pos(self):
+        r, th, ph = self.r, self.theta, self.phi
+        return [r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
+                r * np.cos(th)]
+
+    # -- per-frame ----------------------------------------------------------
+
+    def step(self, real_dt: float) -> np.ndarray:
+        """Advance the simulation by one display frame and render it."""
+        t0 = time.perf_counter()
+        dt = min(real_dt, 0.1)  # clamped sim step (no jumps after stalls)
+        scaled_dt = dt * self.config.disk_rotation_speed * 20.0
+        self.wall_time += scaled_dt
+        self.frames += 1
+
+        if self.dynamic is not None:
+            tex = self.dynamic.advance(
+                self.wall_time, scaled_dt,
+                recompute_stats=(self.frames % 60 == 1),
+                solo_idx=self.solo,
+            )
+            self.renderer.update_disk_texture(tex)
+            render_frame = 0  # rotation lives in the advancing texture
+        else:
+            # V2 volume disk: rotation via the sampler's t_offset.
+            render_frame = self.wall_time / max(
+                self.config.disk_rotation_speed, 1e-9
+            )
+        img = self.renderer.render(
+            self.cam_pos(), self.fov, frame=render_frame,
+            skip_differentials=not self.diff,
+            force_differentials=self.diff,
+            skip_bloom=not self.bloom,
+            lens_flare=self.flare,
+        )
+        self.last_render_ms = (time.perf_counter() - t0) * 1e3
+        self.render_s += self.last_render_ms / 1e3
+        self.fps = 0.9 * self.fps + 0.1 * (1.0 / max(real_dt, 1e-3))
+        return img
+
+    def record_viewer_time(self, seconds: float) -> None:
+        self.last_viewer_ms = seconds * 1e3
+        self.viewer_s += seconds
+
+    def hud_text(self) -> str:
+        solo_txt = (f" SOLO:{_SOLO_NAMES.get(self.solo, self.solo)}"
+                    if self.solo >= 0 else "")
+        d_txt = ("n/a" if self.config.disk_model == "v2"
+                 else ("ON" if self.diff else "off"))
+        ec = self.dynamic.entity_count if self.dynamic is not None else 0
+        return (
+            f"{self.fps:.0f} FPS "
+            f"(render {self.last_render_ms:.0f} ms / "
+            f"view {self.last_viewer_ms:.0f} ms) | D:{d_txt} "
+            f"B:{'ON' if self.bloom else 'off'} "
+            f"L:{'ON' if self.flare else 'off'} | E:{ec}{solo_txt}\n"
+            f"r={self.r:.1f} fov={self.fov:.0f} t={self.wall_time:.1f}"
+        )
+
+    def summary(self) -> str:
+        n = max(self.frames, 1)
+        return (
+            f"interactive: {self.frames} frames, "
+            f"render {self.render_s / n * 1e3:.0f} ms/frame, "
+            f"viewer {self.viewer_s / n * 1e3:.0f} ms/frame"
+        )
+
+
+def _run_matplotlib(config: SceneConfig, window) -> None:
+    """Matplotlib interactive loop over an InteractiveSession.
+
+    Display path: blit the image + HUD artists onto a cached canvas
+    background instead of a full draw_idle per frame — the full redraw
+    was the viewer bottleneck (measured: draw_idle+pause ~45 ms/frame
+    at SD vs ~8 ms blitting with TkAgg; the reference's ti.GUI
+    set_image is zero-copy, render.py:4333). Falls back to draw_idle
+    when the backend cannot blit.
+    """
+    plt, fig, ax = window
+    sess = InteractiveSession(config)
 
     ax.axis("off")
     im = ax.imshow(np.zeros((*config.image_size[::-1], 3)))
     hud = ax.text(0.01, 0.97, "", transform=ax.transAxes, color="w",
                   fontsize=8, va="top")
 
-    def cam_pos():
-        r, th, ph = state["r"], state["theta"], state["phi"]
-        return [r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph),
-                r * np.cos(th)]
-
-    def on_key(event):
-        k = event.key
-        if k in ("q", "escape"):
-            state["running"] = False
-        elif k == "d":
-            state["diff"] = not state["diff"]
-        elif k == "b":
-            state["bloom"] = not state["bloom"]
-        elif k == "l":
-            state["flare"] = not state["flare"]
-        elif k == "up":
-            state["fov"] = max(10.0, state["fov"] - 5.0)
-        elif k == "down":
-            state["fov"] = min(170.0, state["fov"] + 5.0)
-        elif k in ("+", "="):
-            state["r"] = max(2.0, state["r"] * 0.97)
-        elif k == "-":
-            state["r"] *= 1.03
-        elif k == "0":
-            state["solo"] = -1
-        elif k in _SOLO_KEYS:
-            state["solo"] = _SOLO_KEYS[k]
-        elif k == "s":
-            path = f"output/screenshot_{int(time.time())}.png"
-            save_image(np.asarray(im.get_array()), path)
-            print(f"Screenshot: {path}")
-
-    def on_press(event):
-        state["drag"] = (event.x, event.y)
-
-    def on_release(event):
-        state["drag"] = None
-
-    def on_motion(event):
-        if state["drag"] is None or event.x is None:
-            return
-        dx = (event.x - state["drag"][0]) / 200.0
-        dy = (event.y - state["drag"][1]) / 200.0
-        state["phi"] -= dx
-        state["theta"] = np.clip(state["theta"] - dy, 0.05, np.pi - 0.05)
-        state["drag"] = (event.x, event.y)
-
-    fig.canvas.mpl_connect("key_press_event", on_key)
-    fig.canvas.mpl_connect("button_press_event", on_press)
-    fig.canvas.mpl_connect("button_release_event", on_release)
-    fig.canvas.mpl_connect("motion_notify_event", on_motion)
+    fig.canvas.mpl_connect(
+        "key_press_event",
+        lambda e: sess.handle_key(e.key, screenshot_img=im.get_array()),
+    )
+    fig.canvas.mpl_connect(
+        "button_press_event", lambda e: sess.handle_drag(e.x, e.y))
+    fig.canvas.mpl_connect(
+        "button_release_event", lambda e: sess.handle_drag(None, None))
+    fig.canvas.mpl_connect(
+        "motion_notify_event",
+        lambda e: (sess.drag is not None) and sess.handle_drag(e.x, e.y))
     plt.ion()
     plt.show()
 
-    wall_time = 0.0
-    frames = 0
-    last = time.time()
-    fps = 0.0
-    while state["running"] and plt.fignum_exists(fig.number):
-        now = time.time()
-        real_dt = now - last  # actual frame time (drives the FPS HUD)
-        dt = min(real_dt, 0.1)  # clamped sim step (no jumps after stalls)
-        last = now
-        scaled_dt = dt * config.disk_rotation_speed * 20.0
-        wall_time += scaled_dt
-        frames += 1
+    # Cache the static canvas once for blitting; anything failing here
+    # (backend without copy_from_bbox, zero-sized canvas before the
+    # window maps) just disables the fast path.
+    try:
+        fig.canvas.draw()
+        background = fig.canvas.copy_from_bbox(fig.bbox)
+    except Exception:
+        background = None
 
-        if dynamic is not None:
-            tex = dynamic.advance(
-                wall_time, scaled_dt,
-                recompute_stats=(frames % 60 == 1),
-                solo_idx=state["solo"],
-            )
-            renderer.update_disk_texture(tex)
-            render_frame = 0  # rotation lives in the advancing texture
-        else:
-            # V2 volume disk: rotation via the sampler's t_offset.
-            render_frame = wall_time / max(
-                config.disk_rotation_speed, 1e-9
-            )
-        img = renderer.render(
-            cam_pos(), state["fov"], frame=render_frame,
-            skip_differentials=not state["diff"],
-            force_differentials=state["diff"],
-            skip_bloom=not state["bloom"],
-            lens_flare=state["flare"],
-        )
+    last = time.time()
+    while sess.running and plt.fignum_exists(fig.number):
+        now = time.time()
+        real_dt = now - last
+        last = now
+        img = sess.step(real_dt)
+
+        v0 = time.perf_counter()
         im.set_data(img)
-        fps = 0.9 * fps + 0.1 * (1.0 / max(real_dt, 1e-3))
-        solo_txt = (f" SOLO:{_SOLO_NAMES.get(state['solo'], state['solo'])}"
-                    if state["solo"] >= 0 else "")
-        d_txt = ("n/a" if config.disk_model == "v2"
-                 else ("ON" if state["diff"] else "off"))
-        hud.set_text(
-            f"{fps:.0f} FPS | D:{d_txt} "
-            f"B:{'ON' if state['bloom'] else 'off'} "
-            f"L:{'ON' if state['flare'] else 'off'} | "
-            f"E:{dynamic.entity_count if dynamic is not None else 0}"
-            f"{solo_txt}\n"
-            f"r={state['r']:.1f} fov={state['fov']:.0f} t={wall_time:.1f}"
-        )
-        fig.canvas.draw_idle()
-        plt.pause(0.001)
+        hud.set_text(sess.hud_text())
+        if background is not None:
+            try:
+                fig.canvas.restore_region(background)
+                ax.draw_artist(im)
+                ax.draw_artist(hud)
+                fig.canvas.blit(fig.bbox)
+                fig.canvas.flush_events()
+            except Exception:
+                background = None  # backend lied about blitting
+        if background is None:
+            fig.canvas.draw_idle()
+            plt.pause(0.001)
+        sess.record_viewer_time(time.perf_counter() - v0)
+    print(sess.summary())
