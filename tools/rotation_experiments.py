@@ -105,13 +105,86 @@ def main() -> int:
 
     # --- per-component visualization ------------------------------------
     comp = np.asarray(state.comp)
+    omega = np.asarray(state.omega_rows)
     for idx, name in enumerate(COMPONENT_NAMES):
         plane = comp[idx]
         peak = plane.max() + 1e-9
         save_image(np.repeat((plane / peak)[..., None], 3, -1),
                    os.path.join(args.out, f"comp_{idx:02d}_{name}.png"))
-    print(f"Wrote textures + 13 component maps to {args.out}/")
+
+    # --- per-component ROTATION strips ----------------------------------
+    # The reference's visualize_all_components.py: each component shown
+    # at several t offsets, verifying every plane advects coherently
+    # (same structure, differentially rotated — not regenerated noise).
+    t_offsets = [0.0, args.t * 0.25, args.t * 0.5, args.t * 0.75]
+    sep = np.ones((2, args.n_phi, 3), np.float32)
+    for idx, name in enumerate(COMPONENT_NAMES):
+        plane = comp[idx]
+        peak = plane.max() + 1e-9
+        rows = []
+        for t in t_offsets:
+            rolled = _roll_plane(plane, omega, t)
+            rows += [np.repeat((rolled / peak)[..., None], 3, -1), sep]
+        save_image(np.concatenate(rows[:-1], axis=0),
+                   os.path.join(args.out, f"rot_{idx:02d}_{name}.png"))
+
+    # --- A/B: per-row roll vs background rotating-coordinates -----------
+    # The lifecycle background regenerates its 7 wide-r components in
+    # rotating (cos phi_rot, sin phi_rot, r) noise coordinates instead
+    # of rolling precomputed planes (ops/background.py, reference
+    # render.py:3362-3451). Both advect at the SAME Keplerian rate, so
+    # the macro structure must line up; the residual combines the roll
+    # path's integer-pixel quantization with the background's genuine
+    # temporal evolution (its noise also moves through a time axis —
+    # high-frequency layers decorrelate fastest, visible as fine grain
+    # in the diff panel). Strip per component:
+    # [rotating-coords @ t | rolled-from-t0 | 5x |diff|].
+    from bhr_tpu.ops.background import generate_background_components
+
+    bg_names = ["temp_base", "spiral", "spiral_temp", "turbulence",
+                "turb_temp", "az_hotspot", "disturb_mod"]
+    bg_kw = dict(az_freq=dyn.az_freq, az_shear=dyn.az_shear)
+    bg0 = np.asarray(generate_background_components(
+        args.n_r, args.n_phi, bg_kw["az_freq"], bg_kw["az_shear"],
+        2.0, 3.5, 0.0))
+    bgt = np.asarray(generate_background_components(
+        args.n_r, args.n_phi, bg_kw["az_freq"], bg_kw["az_shear"],
+        2.0, 3.5, args.t))
+    print("\nA/B rotating-coords vs roll (per component, t="
+          f"{args.t:.2f}):")
+    for i, name in enumerate(bg_names):
+        if name.startswith("spiral"):
+            continue  # forced to zero in the background path
+        rolled = _roll_plane(bg0[i], omega, args.t)
+        d = np.abs(bgt[i] - rolled)
+        scale = max(np.abs(bg0[i]).max(), 1e-9)
+        print(f"  {name:12s} mean {d.mean() / scale:.4f} "
+              f"max {d.max() / scale:.3f} (of plane peak)")
+        lo, hi = bg0[i].min(), bg0[i].max() + 1e-9
+        norm = lambda p: np.repeat(
+            (np.clip((p - lo) / (hi - lo), 0, 1))[..., None], 3, -1)
+        strip = np.concatenate(
+            [norm(bgt[i]), sep, norm(rolled), sep,
+             np.repeat(np.clip(5.0 * d / scale, 0, 1)[..., None], 3, -1)],
+            axis=0,
+        )
+        save_image(strip, os.path.join(args.out, f"ab_{name}.png"))
+
+    print(f"\nWrote textures + 13 component maps + 13 rotation strips "
+          f"+ A/B strips to {args.out}/")
     return 0
+
+
+def _roll_plane(plane: np.ndarray, omega_rows: np.ndarray,
+                t: float) -> np.ndarray:
+    """Per-row Keplerian phi-roll of one (n_r, n_phi) plane — the same
+    integer-pixel shift the compose path applies
+    (models/disk_texture._compose_from_components)."""
+    n_phi = plane.shape[1]
+    shift = (t * omega_rows / (2.0 * np.pi) * n_phi).astype(np.int64)
+    cols = np.arange(n_phi)[None, :]
+    src = np.mod(cols + shift[:, None], n_phi)
+    return np.take_along_axis(plane, src, axis=1)
 
 
 if __name__ == "__main__":
