@@ -81,14 +81,85 @@ def _banded_blur_matrices(n: int, kernel_radius: int, sigma_scale: float):
     return np.stack(mats, axis=-1)
 
 
+# Output-tile size for the block-banded matmul. The dense (n, n) matmul
+# wastes FLOPs outside the +-R band (bandwidth 2R+1 = 0.04n); tiling the
+# output axis into T-column blocks contracts each against only its
+# (T + 2R)-row input slab: FLOP ratio (T + 2R) / n, e.g. 0.17 at 4K.
+# T = 256 keeps the MXU contraction dim >= 410 (well-utilized) while
+# maximizing the skip.
+_BLOOM_TILE = 256
+
+
+@functools.lru_cache(maxsize=16)
+def _tiled_blur_matrices(n: int, kernel_radius: int, sigma_scale: float,
+                         tile: int):
+    """Block-banded form of :func:`_banded_blur_matrices`.
+
+    Returns (n_tiles, T + 2R, T, 3) host float32: tile t's output
+    columns j in [tT, tT + T) contract against global input rows
+    i in [tT - R, tT + T + R) (clipped rows zeroed — they pair with the
+    caller's zero-padding). Identical coefficients to the dense matrix,
+    asserted by the oracle tests.
+    """
+    radius = kernel_radius
+    n_tiles = -(-n // tile)
+    k = tile + 2 * radius
+    out = np.zeros((n_tiles, k, tile, 3), np.float32)
+    for t in range(n_tiles):
+        j = t * tile + np.arange(tile)  # global output columns
+        i = t * tile - radius + np.arange(k)  # global input rows
+        d = i[:, None] - j[None, :]
+        in_bounds = ((i >= 0) & (i < n))[:, None] & (j < n)[None, :]
+        for c, den in enumerate(_CHANNEL_DENOMS):
+            w = np.exp(-(d.astype(np.float32) ** 2) / (den * sigma_scale))
+            w[np.abs(d) > radius] = 0.0
+            w[~in_bounds] = 0.0
+            denom = np.maximum(w.sum(axis=0, keepdims=True), 1e-12)
+            out[t, :, :, c] = w / denom
+    return out
+
+
+def _blur_axis1_tiled(x: jnp.ndarray, n: int, kernel_radius: int,
+                      sigma_scale: float) -> jnp.ndarray:
+    """Blur (H, n, 3) along axis 1 via the block-banded MXU matmul."""
+    tile = _BLOOM_TILE
+    if n <= tile + 2 * kernel_radius:
+        # Banding saves nothing once the slab covers the whole axis.
+        b = jnp.asarray(_banded_blur_matrices(n, kernel_radius, sigma_scale))
+        return jnp.einsum(
+            "hic,ijc->hjc", x, b, precision=jax.lax.Precision.HIGHEST
+        )
+    mats = jnp.asarray(
+        _tiled_blur_matrices(n, kernel_radius, sigma_scale, tile)
+    )
+    n_tiles = mats.shape[0]
+    pad_cols = n_tiles * tile - n
+    xp = jnp.pad(x, ((0, 0), (kernel_radius, kernel_radius + pad_cols),
+                     (0, 0)))
+    # (H, n_tiles, T + 2R, 3) overlapping input slabs; static slices.
+    slabs = jnp.stack(
+        [xp[:, t * tile: t * tile + tile + 2 * kernel_radius]
+         for t in range(n_tiles)],
+        axis=1,
+    )
+    out = jnp.einsum(
+        "hnic,nijc->hnjc", slabs, mats, precision=jax.lax.Precision.HIGHEST
+    )
+    h = x.shape[0]
+    return out.reshape(h, n_tiles * tile, 3)[:, :n]
+
+
 @functools.partial(jax.jit, static_argnames=("width_ref", "threshold"))
 def apply_bloom(
     disk_layer: jnp.ndarray, *, width_ref: int, threshold: float = 0.0
 ) -> jnp.ndarray:
-    """Separable per-channel bloom via banded-matrix matmuls (MXU).
+    """Separable per-channel bloom via block-banded matmuls (MXU).
 
     Numerically identical contract to :func:`apply_bloom_conv` (same
     taps, same boundary normalization), asserted by the oracle tests.
+    Large axes use the tiled block-banded form (skips the zero band
+    outside +-R — ~6x fewer MXU FLOPs at 4K); small axes keep the dense
+    banded matmul.
     """
     h, w = disk_layer.shape[0], disk_layer.shape[1]
     kernel_radius = max(int(width_ref * 0.02), 1)
@@ -101,16 +172,13 @@ def apply_bloom(
     )
     bright = jnp.where((lum > threshold)[..., None], disk_layer, 0.0)
 
-    b_w = jnp.asarray(_banded_blur_matrices(w, kernel_radius, sigma_scale))
-    b_h = jnp.asarray(_banded_blur_matrices(h, kernel_radius, sigma_scale))
-
-    # Horizontal then vertical pass, per channel on the MXU.
-    pass_h = jnp.einsum(
-        "hwc,wvc->hvc", bright, b_w, precision=jax.lax.Precision.HIGHEST
+    # Horizontal pass along w, then vertical along h (via transpose so
+    # both use the same axis-1 tiled kernel).
+    pass_h = _blur_axis1_tiled(bright, w, kernel_radius, sigma_scale)
+    out_t = _blur_axis1_tiled(
+        pass_h.transpose(1, 0, 2), h, kernel_radius, sigma_scale
     )
-    return jnp.einsum(
-        "hwc,huc->uwc", pass_h, b_h, precision=jax.lax.Precision.HIGHEST
-    )
+    return out_t.transpose(1, 0, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("width_ref", "threshold"))

@@ -76,3 +76,19 @@ def test_matmul_bloom_matches_conv_bloom():
     a = np.asarray(apply_bloom(jnp.asarray(img), width_ref=640))
     b = np.asarray(apply_bloom_conv(jnp.asarray(img), width_ref=640))
     np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_tiled_banded_matches_conv_oracle_large():
+    """Axis sizes past _BLOOM_TILE + 2R take the block-banded path —
+    verify it against the depthwise-conv oracle (the small oracle tests
+    exercise only the dense banded matmul)."""
+    from bhr_tpu.ops.bloom import _BLOOM_TILE, apply_bloom, apply_bloom_conv
+
+    rng = np.random.default_rng(7)
+    h, w = 320, 700  # w > tile + 2R (700 > 256 + 2*14) -> tiled path
+    img = rng.random((h, w, 3)).astype(np.float32)
+    radius = max(int(w * 0.02), 1)
+    assert w > _BLOOM_TILE + 2 * radius and h > _BLOOM_TILE + 2 * radius
+    got = np.asarray(apply_bloom(jnp.asarray(img), width_ref=w))
+    want = np.asarray(apply_bloom_conv(jnp.asarray(img), width_ref=w))
+    np.testing.assert_allclose(got, want, atol=2e-5)
