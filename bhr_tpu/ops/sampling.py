@@ -124,7 +124,10 @@ def _decode_quad(q: jnp.ndarray) -> jnp.ndarray:
 # the decoded f32 intermediates at band size instead of materializing
 # frame-sized (N, 4C) tensors between fusions — measured at 4K:
 # take-only chunking 140 ms vs full-band 83 ms for the two main passes.
-_GATHER_CHUNK = 1 << 21
+# Band-size sweep at 8.3M indices (16B rows): 0.5M 45.5 ms, 1M 51.2,
+# 2M 50.4, 4M 64.0 — 0.5M wins; sorted indices measure identically
+# (the gather is issue-bound, not locality-bound).
+_GATHER_CHUNK = 1 << 19
 
 
 def _banded_map(fn, *arrays):
@@ -245,6 +248,109 @@ def pack_quad_mips(mips: jnp.ndarray) -> jnp.ndarray:
             jnp.pad(packed, ((0, base_h - h), (0, base_w - w), (0, 0)))
         )
     return jnp.stack(levels, axis=0)
+
+
+def mip_atlas_level_count(h: int, w: int, levels: int) -> int:
+    """Number of levels build_mip_atlas_quad/build_mipmaps produce for
+    an (h, w) base texture (base + up to ``levels`` halvings)."""
+    n = 1
+    ch, cw = h, w
+    for _ in range(levels):
+        if ch < 2 or cw < 2:
+            break
+        ch //= 2
+        cw //= 2
+        n += 1
+    return n
+
+
+def build_mip_atlas_quad(tex: jnp.ndarray, levels: int, tex_dtype):
+    """Quad-packed mip ATLAS: one (H, 2W, C') array, level l at column
+    offset ``2W - 2*(W >> l)`` occupying (H >> l, W >> l).
+
+    Replaces the padded (L, H, W, C') pyramid layout for the LOD path:
+    the padded form materializes + quantizes L full-size planes (4x the
+    base texture's traffic for 3 levels of mostly zeros); the atlas is
+    1.33x the base. Levels are quantized to the storage dtype as they
+    are placed. Requires H and W divisible by 2^levels (true for all
+    generated disk textures — sizes are multiples of 16; callers fall
+    back to the padded pyramid for arbitrary external textures).
+
+    Returns (atlas, num_levels) with num_levels = levels + 1 (matching
+    build_mipmaps' level count).
+    """
+    h, w = tex.shape[0], tex.shape[1]
+    if levels > 0 and (h % (1 << levels) or w % (1 << levels)):
+        raise ValueError(
+            f"mip atlas needs ({h}, {w}) divisible by 2^{levels}"
+        )
+    q0 = quantize_packed(pack_quad(tex), tex_dtype)
+    atlas = jnp.zeros((h, 2 * w) + q0.shape[2:], q0.dtype)
+    atlas = atlas.at[:, :w].set(q0)
+    cur = tex
+    off = w
+    n_levels = 1
+    for _ in range(levels):
+        if cur.shape[0] < 2 or cur.shape[1] < 2:
+            break
+        cur = (
+            cur[0::2, 0::2] + cur[1::2, 0::2]
+            + cur[0::2, 1::2] + cur[1::2, 1::2]
+        ) * 0.25
+        q = quantize_packed(pack_quad(cur), tex_dtype)
+        atlas = atlas.at[: cur.shape[0], off: off + cur.shape[1]].set(q)
+        off += cur.shape[1]
+        n_levels += 1
+    return atlas, n_levels
+
+
+def sample_disk_mip_atlas(
+    qatlas: jnp.ndarray,
+    num_levels: int,
+    hit_x: jnp.ndarray,
+    hit_y: jnp.ndarray,
+    r_inner: float,
+    r_outer: float,
+    t_offset,
+    lod: jnp.ndarray,
+    channels: int = 4,
+) -> jnp.ndarray:
+    """Mip-LOD sample from a quad-packed mip ATLAS (one gather/sample).
+
+    Same uv math and blend as :func:`sample_disk_mip_quad` (bit-equal
+    results, asserted by tests); only the level addressing differs —
+    level l's columns start at ``atlas_w - 2 * (W >> l)``, a pure
+    arithmetic offset (no per-sample level-table lookup).
+    """
+    base_h = qatlas.shape[0]
+    atlas_w = qatlas.shape[1]
+    base_w = atlas_w // 2
+    r, phi = _disk_polar(hit_x, hit_y, t_offset, fast_trig=True)
+
+    lod_i = jnp.clip(lod, 0.0, num_levels - 1).astype(jnp.int32)
+    scale = jnp.power(2.0, lod_i.astype(jnp.float32))
+    w_lod = base_w / scale
+    h_lod = base_h / scale
+    w_lod_i = (base_w // (2**lod_i)).astype(jnp.int32)
+    h_lod_i = (base_h // (2**lod_i)).astype(jnp.int32)
+
+    u = phi / TWO_PI * w_lod
+    v = (r - r_inner) / (r_outer - r_inner) * h_lod
+
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    fu = u - u0.astype(u.dtype)
+    fv = v - v0.astype(v.dtype)
+    fv = jnp.where(v0 < 0, 0.0, jnp.clip(fv, 0.0, 1.0))
+    col = (atlas_w - 2 * w_lod_i) + jnp.mod(u0, w_lod_i)
+    flat = jnp.clip(v0, 0, h_lod_i - 1) * atlas_w + col
+    tab2d = qatlas.reshape(base_h * atlas_w, -1)
+    batch_shape = flat.shape
+
+    out = _quad_blend_map(
+        tab2d, flat.reshape(-1), fu.reshape(-1), fv.reshape(-1), channels
+    )
+    return out.reshape(*batch_shape, channels)
 
 
 def sample_disk_mip_quad(

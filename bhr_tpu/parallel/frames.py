@@ -131,11 +131,22 @@ def build_sharded_frame_renderer(
                 trace = geodesic.trace_geodesics(
                     pos, dirs, d_dir_dx0=ddx, d_dir_dy0=ddy, **trace_kwargs,
                 )
+            if has_disk and disk_mips.ndim == 3:
+                # Quad mip atlas (H, 2W, C): level count from geometry
+                # (build_mip_atlas_quad with levels=4, the layout
+                # render_image_tiled builds).
+                from ..ops.sampling import mip_atlas_level_count
+
+                num_levels = mip_atlas_level_count(
+                    int(disk_mips.shape[0]), int(disk_mips.shape[1]) // 2, 4
+                )
+            else:
+                num_levels = int(disk_mips.shape[0]) if has_disk else 1
             bg, disk_rgb, _ = shade_frame(
                 trace,
                 skybox,
                 disk_mips if has_disk else None,
-                int(disk_mips.shape[0]) if has_disk else 1,
+                num_levels,
                 pos,
                 r_inner=float(cfg.disk_inner_radius),
                 r_outer=float(cfg.disk_outer_radius),
@@ -240,9 +251,15 @@ def render_image_tiled(config: SceneConfig) -> np.ndarray:
     use_diff = config.use_ray_differentials
     tex = jnp.asarray(disk_tex, jnp.float32)
     if use_diff:
-        qmips = quantize_packed(
-            pack_quad_mips(build_mipmaps(tex, levels=4)), tex_dtype
-        )
+        h, w = int(tex.shape[0]), int(tex.shape[1])
+        if h % 16 == 0 and w % 16 == 0:
+            from ..ops.sampling import build_mip_atlas_quad
+
+            qmips, _ = build_mip_atlas_quad(tex, 4, tex_dtype)
+        else:
+            qmips = quantize_packed(
+                pack_quad_mips(build_mipmaps(tex, levels=4)), tex_dtype
+            )
     else:
         qmips = quantize_packed(pack_quad(tex), tex_dtype)[None]
 

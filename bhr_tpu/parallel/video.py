@@ -99,7 +99,7 @@ def build_sharded_video_renderer(
     use_pallas: Optional[bool] = None,
     mip_levels: int = 4,
     tex_dtype=None,
-    generation_scale: int = 2,
+    generation_scale: Optional[int] = None,
 ):
     """Compile the sharded per-frame dynamic renderer.
 
@@ -110,7 +110,11 @@ def build_sharded_video_renderer(
     """
     width, height = config.image_size
     cfg = config
-    if n_r % generation_scale or n_phi % generation_scale:
+    if generation_scale is None:
+        from ..models.dynamic_disk import adaptive_generation_scale
+
+        generation_scale = adaptive_generation_scale(n_r, n_phi)
+    elif n_r % generation_scale or n_phi % generation_scale:
         generation_scale = 1
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -156,11 +160,22 @@ def build_sharded_video_renderer(
                 0.0, True, jnp.float32(DISK_COLOR_TEMPERATURE),
             )
             if use_diff:
-                mips = build_mipmaps(tex, levels=mip_levels)
-                num_levels = int(mips.shape[0])
-                qmips = quantize_packed(
-                    pack_quad_mips(mips), tex_dtype
-                )
+                if (n_r % (1 << mip_levels) == 0
+                        and n_phi % (1 << mip_levels) == 0):
+                    # Production LOD layout: quad mip atlas (half the
+                    # build/quantize traffic of the padded pyramid, one
+                    # compact gather table).
+                    from ..ops.sampling import build_mip_atlas_quad
+
+                    qmips, num_levels = build_mip_atlas_quad(
+                        tex, mip_levels, tex_dtype
+                    )
+                else:
+                    mips = build_mipmaps(tex, levels=mip_levels)
+                    num_levels = int(mips.shape[0])
+                    qmips = quantize_packed(
+                        pack_quad_mips(mips), tex_dtype
+                    )
             else:
                 num_levels = 1
                 qmips = quantize_packed(pack_quad(tex), tex_dtype)[None]

@@ -27,11 +27,13 @@ from .ops import geodesic
 from .ops.bloom import apply_bloom
 from .ops.lens_flare import apply_lens_flare
 from .ops.sampling import (
+    build_mip_atlas_quad,
     build_mipmaps,
     pack_quad,
     pack_quad_mips,
     production_tex_dtype,
     quantize_packed,
+    sample_disk_mip_atlas,
     sample_disk_mip_quad,
     sample_disk_quad,
     sample_skybox_quad,
@@ -204,7 +206,16 @@ def shade_frame(
     alpha_total = jnp.zeros((n,), trace.hits.dtype)
 
     if disk_qmips is not None:
-        dtex_h, dtex_w = disk_qmips.shape[1], disk_qmips.shape[2]
+        # Texture layout: 3-D (H, 2W, C') = quad-packed mip ATLAS
+        # (ops.sampling.build_mip_atlas_quad, the production LOD
+        # layout); 4-D (L, H, W, C') = padded quad pyramid (legacy /
+        # arbitrary-size fallback). Level 0 geometry for the LOD
+        # gradient scale is identical either way.
+        is_atlas = disk_qmips.ndim == 3
+        if is_atlas:
+            dtex_h, dtex_w = disk_qmips.shape[0], disk_qmips.shape[1] // 2
+        else:
+            dtex_h, dtex_w = disk_qmips.shape[1], disk_qmips.shape[2]
         max_hits = jnp.max(trace.hit_count)
 
         def shade_slot_core(feat, hit_count, k, accum, alpha_total):
@@ -229,13 +240,17 @@ def shade_frame(
                 lod = jnp.clip(
                     jnp.log2(jnp.maximum(grad_sq, 1.0)) * aa_strength, 0.0, 3.0
                 )
-                rgba = sample_disk_mip_quad(
+                sampler = (sample_disk_mip_atlas if is_atlas
+                           else sample_disk_mip_quad)
+                rgba = sampler(
                     disk_qmips, num_mip_levels, hit_x, hit_y,
                     r_inner, r_outer, t_offset, lod,
                 )
             else:
+                level0 = (disk_qmips[:, :dtex_w] if is_atlas
+                          else disk_qmips[0])
                 rgba = sample_disk_quad(
-                    disk_qmips[0], hit_x, hit_y, r_inner, r_outer, t_offset
+                    level0, hit_x, hit_y, r_inner, r_outer, t_offset
                 )
             rgba = rgba.astype(jnp.float32)
 
@@ -441,13 +456,29 @@ class Renderer:
         self._frame_fns: Dict[tuple, callable] = {}
 
         def _mip_and_pack(tex):
+            # f32 padded pyramid kept for the disk_texture property /
+            # oracle paths; the LOD sampler gets the quad mip ATLAS
+            # (half the build+quantize traffic, single compact gather
+            # table) when sizes divide 2^levels — generated textures
+            # always do (multiples of 16); arbitrary external textures
+            # fall back to the padded quad pyramid. Non-LOD renders
+            # sample a single-level pack (no pyramid traffic at all).
             mips = build_mipmaps(tex, levels=mip_levels)
-            qmips = quantize_packed(
-                pack_quad_mips(mips), self.tex_dtype
-            )
-            return mips, qmips
+            h, w = int(tex.shape[0]), int(tex.shape[1])
+            if (mip_levels > 0 and h % (1 << mip_levels) == 0
+                    and w % (1 << mip_levels) == 0):
+                qmips, _ = build_mip_atlas_quad(
+                    tex, mip_levels, self.tex_dtype
+                )
+            else:
+                qmips = quantize_packed(
+                    pack_quad_mips(mips), self.tex_dtype
+                )
+            q_l0 = quantize_packed(pack_quad(tex), self.tex_dtype)[None]
+            return mips, qmips, q_l0
 
         self._mip_fn = jax.jit(_mip_and_pack)
+        self.disk_q_l0: Optional[jnp.ndarray] = None
         if disk_tex is not None:
             self.update_disk_texture(disk_tex)
 
@@ -456,7 +487,7 @@ class Renderer:
     def update_disk_texture(self, tex) -> None:
         """Upload a new (n_r, n_phi, 4) texture and rebuild the mip pyramid."""
         tex = jnp.asarray(tex, dtype=jnp.float32)
-        self.disk_mips, self.disk_qmips = self._mip_fn(tex)
+        self.disk_mips, self.disk_qmips, self.disk_q_l0 = self._mip_fn(tex)
         self.num_mip_levels = int(self.disk_mips.shape[0])
 
     @property
@@ -598,7 +629,9 @@ class Renderer:
         ) and not skip_differentials
         trace = self._trace(camera, r_escape, use_diff)
         t_offset = jnp.float32(frame * self.config.disk_rotation_speed)
-        mips = self.disk_qmips
+        # LOD renders sample the mip atlas; non-LOD renders the single
+        # level-0 pack (no pyramid traffic at all).
+        mips = self.disk_qmips if use_diff else self.disk_q_l0
         if mips is None:  # placeholder so the arg structure is stable
             mips = jnp.zeros((1, 1, 1, 16), jnp.float32)
         bg, disk_rgb, _ = self._shade_fn(use_diff)(

@@ -1,6 +1,7 @@
 """Texture sampling vs independent NumPy oracles."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from bhr_tpu.ops.sampling import (
@@ -251,3 +252,46 @@ def test_build_mipmaps_odd_dimensions():
     ref = (base[0::2, 0::2] + base[1::2, 0::2]
            + base[0::2, 1::2] + base[1::2, 1::2]) * 0.25
     assert float(jnp.max(jnp.abs(lvl1 - ref))) < 1e-6
+
+
+def test_mip_atlas_matches_padded_pyramid_sampler():
+    """build_mip_atlas_quad + sample_disk_mip_atlas must reproduce the
+    padded-pyramid quad sampler exactly (same levels, same uv math,
+    only the addressing differs)."""
+    from bhr_tpu.ops.sampling import (
+        build_mip_atlas_quad,
+        build_mipmaps,
+        mip_atlas_level_count,
+        pack_quad_mips,
+        quantize_packed,
+        sample_disk_mip_atlas,
+        sample_disk_mip_quad,
+    )
+
+    rng = np.random.default_rng(3)
+    tex = jnp.asarray(rng.random((64, 256, 4)).astype(np.float32))
+    for dtype in (jnp.float32, jnp.uint8):
+        mips = build_mipmaps(tex, levels=4)
+        qmips = quantize_packed(pack_quad_mips(mips), dtype)
+        atlas, n_levels = build_mip_atlas_quad(tex, 4, dtype)
+        assert n_levels == int(mips.shape[0])
+        assert n_levels == mip_atlas_level_count(64, 256, 4)
+        assert atlas.shape[1] == 2 * qmips.shape[2]
+
+        n = 4096
+        hx = jnp.asarray(rng.uniform(-3.6, 3.6, n).astype(np.float32))
+        hy = jnp.asarray(rng.uniform(-3.6, 3.6, n).astype(np.float32))
+        lod = jnp.asarray(rng.uniform(0.0, 4.5, n).astype(np.float32))
+        a = sample_disk_mip_atlas(
+            atlas, n_levels, hx, hy, 2.0, 3.5, 0.7, lod)
+        b = sample_disk_mip_quad(
+            qmips, n_levels, hx, hy, 2.0, 3.5, 0.7, lod)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mip_atlas_rejects_indivisible():
+    from bhr_tpu.ops.sampling import build_mip_atlas_quad
+
+    tex = jnp.zeros((60, 250, 4), jnp.float32)
+    with pytest.raises(ValueError):
+        build_mip_atlas_quad(tex, 4, jnp.float32)
