@@ -43,8 +43,13 @@ from .geodesic import HIT_FEATURES, TraceResult
 # With per-step exit checks, 64x128 was fastest (grid overhead beat
 # exit granularity); with the 8-step unrolled exit check amortizing
 # that overhead, 32x128 wins (17.5 vs 19.3 ms at FHD on v5e) — finer
-# tiles quit sooner around the photon ring.
+# tiles quit sooner around the photon ring. The AA kernel triples the
+# per-lane state (two Jacobian-transported differential systems), so it
+# prefers finer 16-row tiles and a longer 16-step exit cadence
+# (FHD sweep: 16x128/ece16 32.6 ms vs 32x128/ece8 34.8; the slim kernel
+# measures the opposite, 16.5 vs 18.1).
 BLOCK_ROWS = 32
+BLOCK_ROWS_AA = 16
 BLOCK_COLS = 128
 
 # Camera parameter vector layout (SMEM):
@@ -70,7 +75,7 @@ def build_ray_march_kernel(
     with_differentials: bool,
     max_crossings: int,
     record_hits: bool,
-    block_rows: int = BLOCK_ROWS,
+    block_rows: Optional[int] = None,
     block_cols: int = BLOCK_COLS,
     max_iter_override: Optional[int] = None,
     exit_check_every: Optional[int] = None,
@@ -92,12 +97,17 @@ def build_ray_march_kernel(
     """
     if row_count is None:
         row_count = height
+    if block_rows is None:
+        block_rows = BLOCK_ROWS_AA if with_differentials else BLOCK_ROWS
     if exit_check_every is None:
-        # Unrolling 8 steps per exit check amortizes the tile-wide
+        # Unrolling steps per exit check amortizes the tile-wide
         # max-reduction + loop overhead (25.5 -> 18.8 ms at FHD on
-        # v5e); under the interpreter every extra step is real Python
-        # work, so check every step there.
-        exit_check_every = 1 if interpret else 8
+        # v5e); the heavier AA body prefers a longer cadence (see the
+        # tile-shape sweep above). Under the interpreter every extra
+        # step is real Python work, so check every step there.
+        exit_check_every = (
+            1 if interpret else (16 if with_differentials else 8)
+        )
     tan_t = float(np.tan(np.deg2rad(tilt_deg)))
     max_affine = r_escape * 40.0
     # Derived from max_affine so the iteration budget and the affine
@@ -158,7 +168,15 @@ def build_ray_march_kernel(
         lx = dy0 * cz - dz0 * cy
         ly = dz0 * cx - dx0 * cz
         lz = dx0 * cy - dy0 * cx
-        neg_15_l2 = -1.5 * (lx * lx + ly * ly + lz * lz)
+        l2 = lx * lx + ly * ly + lz * lz
+        neg_15_l2 = -1.5 * l2
+        # Doom threshold for the two-phase loop: the pseudo-potential
+        # ODE conserves 2E = |v|^2 - L^2/r^3, and the radial equation
+        # (dr/dlambda)^2 = 2E - W(r) with W(r) = L^2 (1/r^2 - 1/r^3)
+        # peaking at r = 1.5 (W_max = 4 L^2 / 27) has NO turning points
+        # when 2E > W_max: dr keeps its sign forever. 5% margin guards
+        # against RK4 drift in E near the critical impact parameter.
+        doom_thresh = (4.0 / 27.0) * 1.05 * l2
 
         shape = (block_rows, block_cols)
         zeros = jnp.zeros(shape, jnp.float32)
@@ -197,7 +215,53 @@ def build_ray_march_kernel(
         def cond(s):
             return jnp.logical_and(s[12] < max_iter, jnp.max(s[7]) > 0.5)
 
-        def body(s):
+        r_in2 = r_inner * r_inner
+        gate_out = max(r_outer, 1.5 * rs) * 1.05
+        gate_out2 = gate_out * gate_out
+
+        def slim_eligible(s):
+            """Rays that can provably never record another disk hit.
+
+            Each criterion is monotone-once-true under the exact
+            dynamics, so the fat-phase exit check can recompute it per
+            check instead of latching state:
+              * doomed infall: 2E > W_max (no turning points anywhere)
+                and ingoing below r_inner — r decreases monotonically to
+                capture, every future chord stays below r_inner;
+              * outgoing beyond max(r_outer, 1.5 rs): W is decreasing
+                there, so dr > 0 persists and r only grows — future
+                crossings all land beyond r_outer (chord radius is
+                convex, so interpolated hits can't dip below the
+                endpoints);
+              * full hit slots (record guard can never pass again).
+            Differentials are only ever read when a hit records, so
+            both they and the recording machinery are dead for these
+            rays — the tile switches to the slim phase-B loop once ALL
+            its live rays qualify.
+            """
+            (px, py, pz) = s[0]
+            (vx, vy, vz) = s[1]
+            r2 = px * px + py * py + pz * pz
+            pv = px * vx + py * vy + pz * vz
+            v2 = vx * vx + vy * vy + vz * vz
+            inv_r = jax.lax.rsqrt(r2 + 1e-18)
+            two_e = v2 - l2 * (inv_r * inv_r * inv_r)
+            doomed = two_e > doom_thresh
+            slim = (doomed & (pv < 0) & (r2 < r_in2)) | (
+                (pv > 0) & (r2 > gate_out2)
+            )
+            if record_hits:
+                slim = slim | (s[10] >= k_slots)
+            return slim
+
+        def cond_fat(s):
+            live_fat = (s[7] > 0.5) & jnp.logical_not(slim_eligible(s))
+            return jnp.logical_and(
+                s[12] < max_iter, jnp.max(live_fat.astype(jnp.float32)) > 0.5
+            )
+
+        def _make_step(do_diffs: bool, do_record: bool):
+          def body(s):
             (px, py, pz) = s[0]
             (vx, vy, vz) = s[1]
             active = s[7] > 0.5
@@ -235,7 +299,7 @@ def build_ray_march_kernel(
                 r2_ = sx * sx + sy * sy + sz * sz
                 ir_ = jax.lax.rsqrt(r2_)
                 ir2_ = ir_ * ir_
-                inv_r2_ = ir2_ if with_differentials else None
+                inv_r2_ = ir2_ if do_diffs else None
                 inv_r5_ = ir2_ * ir2_ * ir_
                 return neg_15_l2 * inv_r5_, inv_r2_
 
@@ -264,7 +328,7 @@ def build_ray_march_kernel(
             nvy = vy + (k1dy + 2 * k2dy + 2 * k3dy + k4dy) * sixth
             nvz = vz + (k1dz + 2 * k2dz + 2 * k3dz + k4dz) * sixth
 
-            if with_differentials:
+            if do_diffs:
                 def jac(f_, inv_r2_, sx, sy, sz, dx_, dy_, dz_):
                     # J(s) @ d with the stage factors computed above.
                     proj = (sx * dx_ + sy * dy_ + sz * dz_) * inv_r2_
@@ -329,7 +393,7 @@ def build_ray_march_kernel(
 
             hit_count = s[10]
             hits = s[11]
-            if record_hits:
+            if do_record:
                 f_old = pz - py * tan_t
                 f_new = npz - npy * tan_t
                 crossing = survive & (f_old * f_new < 0)
@@ -390,7 +454,7 @@ def build_ray_march_kernel(
             def sel_a(new, old):
                 return jnp.where(active, new, old)
 
-            if with_differentials:
+            if do_diffs:
                 new_dp_dx = tuple(sel(n, o) for n, o in zip(ndp_dx, s[2]))
                 new_dd_dx = tuple(sel(n, o) for n, o in zip(ndd_dx, s[3]))
                 new_dp_dy = tuple(sel(n, o) for n, o in zip(ndp_dy, s[4]))
@@ -421,7 +485,12 @@ def build_ray_march_kernel(
                 out = out + (s[13] + active.astype(jnp.int32),)
             return out
 
-        if exit_check_every > 1:
+          return body
+
+        def _blocked(body):
+            if exit_check_every <= 1:
+                return body
+
             # Amortize the tile-wide "all rays done" max-reduction (and
             # while-loop overhead) over several RK4 steps: terminated
             # rays are already frozen by the per-state selects, so
@@ -431,9 +500,23 @@ def build_ray_march_kernel(
                     s = body(s)
                 return s
 
-            final = jax.lax.while_loop(cond, block_body, state)
+            return block_body
+
+        fat_body = _blocked(_make_step(with_differentials, record_hits))
+        if record_hits or with_differentials:
+            # TWO-PHASE loop: run the full body only while some live
+            # ray could still record a hit (cond_fat); the long tails —
+            # doomed near-critical infall spirals, post-annulus coasts
+            # to the escape radius, full-slot rays — then integrate
+            # with the slim body (no differential transport, no
+            # crossing test, no hit-slot selects). Identical pos/dir
+            # arithmetic in both phases, so results are bit-equal to
+            # the single-loop form; only provably-dead work is skipped.
+            slim_body = _blocked(_make_step(False, False))
+            mid = jax.lax.while_loop(cond_fat, fat_body, state)
+            final = jax.lax.while_loop(cond, slim_body, mid)
         else:
-            final = jax.lax.while_loop(cond, body, state)
+            final = jax.lax.while_loop(cond, fat_body, state)
 
         captured_ref[:, :] = final[8]
         escaped_ref[:, :] = final[9]
@@ -533,7 +616,7 @@ def trace_geodesics_pallas(
     with_differentials: bool = False,
     max_crossings: int = MAX_DISK_CROSSINGS,
     record_hits: bool = True,
-    block_rows: int = BLOCK_ROWS,
+    block_rows: Optional[int] = None,
     block_cols: int = BLOCK_COLS,
     exit_check_every: Optional[int] = None,
     record_step_counts: bool = False,
