@@ -20,6 +20,8 @@ import time
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # see pyproject: core suite runs -m 'not slow'
+
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
@@ -236,7 +238,6 @@ def inject(*a, **kw):
 V.render_video_frames_sharded = inject
 from bhr_tpu.config import SceneConfig
 
-pytestmark = pytest.mark.slow  # see pyproject: core suite runs -m 'not slow'
 cfg = SceneConfig(
     width=32, height=16, fov=60.0, step_size=0.2,
     disk_inner_radius=2.0, disk_outer_radius=3.5, disk_tilt=15.0,

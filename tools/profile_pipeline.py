@@ -11,6 +11,7 @@ printed `-rtt` column does it for you). For end-to-end numbers use
 bench.py, which amortizes dispatch over a 32-frame batched program.
 """
 
+import argparse
 import sys
 import time
 
@@ -20,6 +21,14 @@ import numpy as np  # noqa: E402
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--resolution", default="fhd",
+                    choices=["sd", "hd", "fhd", "4k"])
+    ap.add_argument("--aa", action="store_true",
+                    help="profile the ray-differential AA pipeline "
+                         "(diff trace + mip build + LOD shade)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -45,9 +54,12 @@ def main() -> int:
     enable_compile_cache()
 
     cfg = SceneConfig(
-        resolution="fhd", pov=(6.0, 0.0, 0.5), fov=90.0, step_size=0.1,
-        disk_inner_radius=2.0, disk_outer_radius=15.0, disk_tilt=15.0,
+        resolution=args.resolution, pov=(6.0, 0.0, 0.5), fov=90.0,
+        step_size=0.1, disk_inner_radius=2.0, disk_outer_radius=15.0,
+        disk_tilt=15.0,
+        anti_alias="lod_radius" if args.aa else "disabled",
     ).validated()
+    use_diff = cfg.use_ray_differentials
     width, height = cfg.image_size
     n_phi, n_r = compute_disk_texture_resolution(
         width, height, cfg.pov, cfg.fov, 2.0, 15.0
@@ -106,6 +118,12 @@ def main() -> int:
             comp, omega, edge, p98, scale, row, 0.0, True,
             jnp.float32(DISK_COLOR_TEMPERATURE),
         )
+        if use_diff:
+            from bhr_tpu.ops.sampling import build_mipmaps, pack_quad_mips
+
+            return quantize_packed(
+                pack_quad_mips(build_mipmaps(tex, levels=4)), tex_dtype
+            )
         return quantize_packed(pack_quad(tex), tex_dtype)[None]
 
     qmips = jax.block_until_ready(stage_tex(jnp.float32(0.0), fil, hs, rt))
@@ -113,7 +131,7 @@ def main() -> int:
 
     trace_kwargs = dict(
         h_base=0.1, r_escape=15.0, tilt_deg=15.0, r_inner=2.0, r_outer=15.0,
-        with_differentials=False, max_crossings=MAX_DISK_CROSSINGS,
+        with_differentials=use_diff, max_crossings=MAX_DISK_CROSSINGS,
         record_hits=True,
     )
 
@@ -131,9 +149,9 @@ def main() -> int:
         # image_shape enables the ghost-slot crop window — the path
         # production renders actually take.
         bg_rgb, disk_rgb, _ = shade_frame(
-            trace, skybox_q, qmips, 1, cam_pack[0:3],
+            trace, skybox_q, qmips, int(qmips.shape[0]), cam_pack[0:3],
             r_inner=2.0, r_outer=15.0, tilt_deg=15.0,
-            t_offset=jnp.float32(0.0), use_lod=False, aa_strength=1.0,
+            t_offset=jnp.float32(0.0), use_lod=use_diff, aa_strength=1.0,
             image_shape=(height, width),
         )
         return bg_rgb + disk_rgb
