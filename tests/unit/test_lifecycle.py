@@ -274,3 +274,4 @@ def test_solo_comp_masked_select():
     assert np.all(solo[12] == 1.0)                   # neutral disturb
     for i in (0, 1, 2, 5, 6, 7, 8, 9, 10, 11):
         assert np.all(solo[i] == 0.0), i
+
