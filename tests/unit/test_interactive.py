@@ -219,3 +219,166 @@ def test_interactive_session_v2_rotates_via_t_offset(tiny_cfg):
     frames = [c["frame"] for c in r.calls]
     assert frames[1] > frames[0] > 0
     assert r.textures == 0
+
+
+def test_run_matplotlib_loop_with_mock_window(tiny_cfg, monkeypatch):
+    """Drive _run_matplotlib's real loop (blit path, HUD updates, event
+    wiring, exit) without a display, via a mocked matplotlib window.
+    Covers the windowed loop body that previously only ran under X."""
+    import bhr_tpu.interactive as imod
+
+    frames = {"n": 0}
+    handlers = {}
+
+    class _Canvas:
+        def mpl_connect(self, name, fn):
+            handlers[name] = fn
+
+        def draw(self):
+            pass
+
+        def copy_from_bbox(self, bbox):
+            return "bg-cache"
+
+        def restore_region(self, bg):
+            assert bg == "bg-cache"
+
+        def blit(self, bbox):
+            frames["blits"] = frames.get("blits", 0) + 1
+
+        def flush_events(self):
+            pass
+
+        def draw_idle(self):
+            frames["draw_idle"] = frames.get("draw_idle", 0) + 1
+
+    class _Im:
+        def set_data(self, img):
+            frames["img_shape"] = img.shape
+
+        def get_array(self):
+            return np.zeros((4, 4, 3), np.float32)
+
+    class _Hud:
+        def set_text(self, s):
+            frames["hud"] = s
+
+    class _Ax:
+        bbox = "axbbox"
+        transAxes = None
+
+        def axis(self, *_):
+            pass
+
+        def imshow(self, arr):
+            return _Im()
+
+        def text(self, *a, **kw):
+            return _Hud()
+
+        def draw_artist(self, artist):
+            pass
+
+    class _Fig:
+        number = 1
+        bbox = "figbbox"
+        canvas = _Canvas()
+
+    class _Plt:
+        @staticmethod
+        def ion():
+            pass
+
+        @staticmethod
+        def show():
+            pass
+
+        @staticmethod
+        def fignum_exists(num):
+            frames["n"] += 1
+            return frames["n"] <= 4  # run 4 loop iterations, then close
+
+    # Real session logic over a fake renderer (no device work).
+    monkeypatch.setattr(
+        imod, "_build", lambda config: (_FakeRenderer(), _FakeDynamic())
+    )
+    imod._run_matplotlib(tiny_cfg, (_Plt, _Fig(), _Ax()))
+
+    assert frames["blits"] == 4          # blit fast path used every frame
+    assert "draw_idle" not in frames     # never fell back to full redraws
+    assert frames["img_shape"] == (4, 4, 3)
+    assert "FPS" in frames["hud"]
+    # Event handlers are wired for keys + mouse orbit.
+    assert {"key_press_event", "button_press_event",
+            "button_release_event", "motion_notify_event"} <= set(handlers)
+
+
+def test_run_matplotlib_blit_fallback(tiny_cfg, monkeypatch):
+    """A backend whose canvas cannot blit must fall back to draw_idle
+    (not crash, not render nothing)."""
+    import bhr_tpu.interactive as imod
+
+    frames = {"n": 0}
+
+    class _Canvas:
+        def mpl_connect(self, name, fn):
+            pass
+
+        def draw(self):
+            pass
+
+        def copy_from_bbox(self, bbox):
+            raise NotImplementedError("no blitting here")
+
+        def draw_idle(self):
+            frames["draw_idle"] = frames.get("draw_idle", 0) + 1
+
+    class _Im:
+        def set_data(self, img):
+            pass
+
+        def get_array(self):
+            return np.zeros((4, 4, 3), np.float32)
+
+    class _Ax:
+        transAxes = None
+
+        def axis(self, *_):
+            pass
+
+        def imshow(self, arr):
+            return _Im()
+
+        def text(self, *a, **kw):
+            class _H:
+                def set_text(self, s):
+                    pass
+            return _H()
+
+    class _Fig:
+        number = 1
+        canvas = _Canvas()
+
+    class _Plt:
+        @staticmethod
+        def ion():
+            pass
+
+        @staticmethod
+        def show():
+            pass
+
+        @staticmethod
+        def fignum_exists(num):
+            frames["n"] += 1
+            return frames["n"] <= 2
+
+        @staticmethod
+        def pause(dt):
+            pass
+
+    monkeypatch.setattr(
+        imod, "_build", lambda config: (_FakeRenderer(), _FakeDynamic())
+    )
+    imod._run_matplotlib(tiny_cfg, (_Plt, _Fig(), _Ax()))
+    assert frames["draw_idle"] == 2
