@@ -360,6 +360,8 @@ def main() -> int:
 
     aux("sd_frame_ms",
         lambda: round(time_resolution("sd", 32, skybox_q, tex_dtype), 2))
+    aux("hd_frame_ms",
+        lambda: round(time_resolution("hd", 32, skybox_q, tex_dtype), 2))
     aux("fourk_frame_ms",
         lambda: round(time_resolution("4k", 8, skybox_q, tex_dtype), 2))
     aux("fhd_aa_frame_ms",
