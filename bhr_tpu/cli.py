@@ -114,6 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "for 4K/8K stills on multi-chip hosts")
     p.add_argument("--video", action="store_true")
     p.add_argument("--interactive", action="store_true")
+    p.add_argument("--preview_port", type=int, default=0,
+                   help="with --interactive on a headless host: serve "
+                        "the live render as MJPEG over HTTP on this "
+                        "port (keys injected via /key?k=...)")
     p.add_argument("--orbit", action="store_true")
     p.add_argument("--orbit_degrees", type=float, default=360.0,
                    help="total orbit sweep (negative = reverse)")
@@ -269,7 +273,7 @@ def main(argv=None) -> int:
     if config.interactive:
         from .interactive import run_interactive
 
-        run_interactive(config)
+        run_interactive(config, preview_port=args.preview_port)
     elif config.video:
         from .modes import render_video
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -47,8 +48,11 @@ def _build(config: SceneConfig):
 _HEADLESS_BACKENDS = {"agg", "pdf", "pgf", "ps", "svg", "template", "cairo"}
 
 
-def run_interactive(config: SceneConfig) -> None:
-    """Dispatch to windowed or headless preview."""
+def run_interactive(config: SceneConfig, preview_port: int = 0) -> None:
+    """Dispatch to windowed, HTTP-stream, or headless preview."""
+    if preview_port:
+        run_http_preview(config, preview_port)
+        return
     env_backend = os.environ.get("MPLBACKEND", "").lower()
     if env_backend in _HEADLESS_BACKENDS:
         run_headless_preview(config)
@@ -67,6 +71,46 @@ def run_interactive(config: SceneConfig) -> None:
             _run_matplotlib(config, window)
             return
     run_headless_preview(config)
+
+
+def run_http_preview(config: SceneConfig, port: int,
+                     max_frames: Optional[int] = None) -> None:
+    """Interactive session streamed as MJPEG over HTTP (headless hosts).
+
+    Serves the live render at http://host:port/ with the same key
+    bindings as the window, injected via /key?k=<key> (q stops). The
+    loop paces itself by real render time (InteractiveSession.step),
+    exactly like the windowed path; the JPEG encode happens on the
+    render thread and counts as viewer time in the HUD split.
+    """
+    from .utils.preview_server import MJPEGServer
+
+    # Start serving BEFORE the renderer builds/compiles (a minute or
+    # more on first run): viewers get 503-until-first-frame instead of
+    # connection-refused, and the URL prints immediately.
+    pending_keys = []
+    server = MJPEGServer(port=port, on_key=pending_keys.append)
+    server.start()
+    print(f"Live preview: http://0.0.0.0:{server.port}/  "
+          f"(keys via /key?k=d|b|l|up|down|+|-|0-8|q)", flush=True)
+    sess = InteractiveSession(config)
+    for k in pending_keys:
+        sess.handle_key(k)
+    server.on_key = sess.handle_key
+    last = time.time()
+    try:
+        while sess.running:
+            now = time.time()
+            real_dt, last = now - last, now
+            img = sess.step(real_dt)
+            v0 = time.perf_counter()
+            server.submit(img)
+            sess.record_viewer_time(time.perf_counter() - v0)
+            if max_frames is not None and sess.frames >= max_frames:
+                break
+    finally:
+        server.stop()
+        print(sess.summary())
 
 
 def run_headless_preview(config: SceneConfig, n_frames: int = 24,

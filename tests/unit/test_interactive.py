@@ -382,3 +382,74 @@ def test_run_matplotlib_blit_fallback(tiny_cfg, monkeypatch):
     )
     imod._run_matplotlib(tiny_cfg, (_Plt, _Fig(), _Ax()))
     assert frames["draw_idle"] == 2
+
+
+def test_mjpeg_preview_server_and_http_loop(tiny_cfg, monkeypatch):
+    """The headless MJPEG preview: snapshot endpoint serves a real JPEG
+    of the latest frame, /key injects session keys (q stops the loop),
+    and run_http_preview drives the real InteractiveSession against it."""
+    import urllib.request
+
+    import bhr_tpu.interactive as imod
+    from bhr_tpu.utils.preview_server import MJPEGServer
+
+    # --- server alone: snapshot + key injection ---
+    keys = []
+    server = MJPEGServer(port=0, on_key=keys.append)
+    server.start()
+    try:
+        frame = np.zeros((8, 8, 3), np.uint8)
+        frame[2:6, 2:6] = 255
+        server.submit(frame)
+        base = f"http://127.0.0.1:{server.port}"
+        data = urllib.request.urlopen(f"{base}/frame", timeout=10).read()
+        assert data[:3] == b"\xff\xd8\xff"  # JPEG SOI marker
+        from PIL import Image
+        import io as _io
+
+        img = Image.open(_io.BytesIO(data))
+        assert img.size == (8, 8)
+        urllib.request.urlopen(f"{base}/key?k=d&k=q", timeout=10).read()
+        assert keys == ["d", "q"]
+        # Stream endpoint yields at least one multipart frame.
+        with urllib.request.urlopen(base, timeout=10) as stream:
+            head = stream.read(64)
+        assert b"--bhrframe" in head
+    finally:
+        server.stop()
+
+    # --- the full HTTP-preview loop over a fake renderer ---
+    r, d = _FakeRenderer(), _FakeDynamic()
+    monkeypatch.setattr(imod, "_build", lambda config: (r, d))
+    submitted = []
+
+    class _Srv:
+        port = 1234
+
+        def __init__(self, port, on_key):
+            self.on_key = on_key
+
+        def start(self):
+            pass
+
+        def submit(self, img):
+            submitted.append(np.asarray(img).shape)
+            if len(submitted) == 3:
+                self.on_key("q")  # viewer quits via /key
+
+        def stop(self):
+            submitted.append("stopped")
+
+    import bhr_tpu.utils.preview_server as psmod
+
+    monkeypatch.setattr(psmod, "MJPEGServer", _Srv)
+    imod.run_http_preview(tiny_cfg, port=1234)
+    assert submitted == [(4, 4, 3)] * 3 + ["stopped"]
+    assert len(r.calls) == 3
+
+    # CLI dispatch: --interactive --preview_port routes here.
+    called = {}
+    monkeypatch.setattr(imod, "run_http_preview",
+                        lambda config, port: called.setdefault("port", port))
+    imod.run_interactive(tiny_cfg, preview_port=8089)
+    assert called == {"port": 8089}
