@@ -94,9 +94,9 @@ def run_http_preview(config: SceneConfig, port: int,
     print(f"Live preview: http://0.0.0.0:{server.port}/  "
           f"(keys via /key?k=d|b|l|up|down|+|-|0-8|q)", flush=True)
     sess = InteractiveSession(config)
-    for k in pending_keys:
-        sess.handle_key(k)
-    server.on_key = sess.handle_key
+    # Atomic swap + replay: keys pressed during the first compile land
+    # either in the backlog (replayed here) or on the live handler.
+    server.set_key_handler(sess.handle_key, backlog=pending_keys)
     last = time.time()
     try:
         while sess.running:
@@ -329,14 +329,28 @@ def _run_matplotlib(config: SceneConfig, window) -> None:
     plt.ion()
     plt.show()
 
-    # Cache the static canvas once for blitting; anything failing here
-    # (backend without copy_from_bbox, zero-sized canvas before the
-    # window maps) just disables the fast path.
+    # Blit state: the cached background must be re-captured after a
+    # window resize (the canvas buffer is recreated at the new size;
+    # restoring the stale region would paint garbage without raising).
+    # blit["ok"] False permanently disables the fast path (backend
+    # without copy_from_bbox / blit).
+    blit = {"bg": None, "ok": True}
+
+    def _invalidate_bg(event=None):
+        blit["bg"] = None
+
     try:
-        fig.canvas.draw()
-        background = fig.canvas.copy_from_bbox(fig.bbox)
+        fig.canvas.mpl_connect("resize_event", _invalidate_bg)
     except Exception:
-        background = None
+        pass
+
+    def _cache_bg():
+        try:
+            fig.canvas.draw()
+            blit["bg"] = fig.canvas.copy_from_bbox(fig.bbox)
+        except Exception:
+            blit["bg"] = None
+            blit["ok"] = False
 
     last = time.time()
     while sess.running and plt.fignum_exists(fig.number):
@@ -348,16 +362,19 @@ def _run_matplotlib(config: SceneConfig, window) -> None:
         v0 = time.perf_counter()
         im.set_data(img)
         hud.set_text(sess.hud_text())
-        if background is not None:
+        if blit["ok"] and blit["bg"] is None:
+            _cache_bg()
+        if blit["bg"] is not None:
             try:
-                fig.canvas.restore_region(background)
+                fig.canvas.restore_region(blit["bg"])
                 ax.draw_artist(im)
                 ax.draw_artist(hud)
                 fig.canvas.blit(fig.bbox)
                 fig.canvas.flush_events()
             except Exception:
-                background = None  # backend lied about blitting
-        if background is None:
+                blit["bg"] = None  # backend lied about blitting
+                blit["ok"] = False
+        if blit["bg"] is None:
             fig.canvas.draw_idle()
             plt.pause(0.001)
         sess.record_viewer_time(time.perf_counter() - v0)

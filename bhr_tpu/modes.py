@@ -150,6 +150,18 @@ def video_resume_params(config: SceneConfig, *, sharded: bool = False) -> Dict:
         "lens_flare": bool(config.lens_flare),
         "sharded": bool(sharded),
     }
+    if config.disk_texture is None and config.disk_model == "texture":
+        # The resolved low-res generation factor changes texture frame
+        # content (it is size-adaptive since the 4K scale-4 change); a
+        # resumed video must not silently mix frames generated at two
+        # scales.
+        from .models.dynamic_disk import adaptive_generation_scale
+
+        n_phi, n_r = compute_disk_texture_resolution(
+            width, height, config.pov, config.fov,
+            config.disk_inner_radius, config.disk_outer_radius,
+        )
+        params["generation_scale"] = adaptive_generation_scale(n_r, n_phi)
     if config.disk_model == "v2":
         # Every V2 knob changes frame content. Keyed only for V2 runs so
         # texture-model progress files stay byte-compatible across

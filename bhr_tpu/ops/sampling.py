@@ -304,6 +304,29 @@ def build_mip_atlas_quad(tex: jnp.ndarray, levels: int, tex_dtype):
     return atlas, n_levels
 
 
+def pack_mip_atlas_from_pyramid(mips: jnp.ndarray, tex_dtype) -> jnp.ndarray:
+    """Atlas (see build_mip_atlas_quad) from an already-built padded f32
+    pyramid — for callers that also keep the pyramid (Renderer), so the
+    2x2 downsample chain is not recomputed per texture update."""
+    n_levels = int(mips.shape[0])
+    h, w = int(mips.shape[1]), int(mips.shape[2])
+    levels = n_levels - 1
+    if levels > 0 and (h % (1 << levels) or w % (1 << levels)):
+        raise ValueError(
+            f"mip atlas needs ({h}, {w}) divisible by 2^{levels}"
+        )
+    q0 = quantize_packed(pack_quad(mips[0]), tex_dtype)
+    atlas = jnp.zeros((h, 2 * w) + q0.shape[2:], q0.dtype)
+    atlas = atlas.at[:, :w].set(q0)
+    off = w
+    for lvl in range(1, n_levels):
+        lh, lw = h >> lvl, w >> lvl
+        q = quantize_packed(pack_quad(mips[lvl, :lh, :lw]), tex_dtype)
+        atlas = atlas.at[:lh, off: off + lw].set(q)
+        off += lw
+    return atlas
+
+
 def sample_disk_mip_atlas(
     qatlas: jnp.ndarray,
     num_levels: int,

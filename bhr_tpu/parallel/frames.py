@@ -75,6 +75,7 @@ def build_sharded_frame_renderer(
     use_diff: bool = False,
     use_pallas: bool = False,
     return_layers: bool = False,
+    atlas_num_levels: Optional[int] = None,
 ):
     """Compile a sharded renderer: (skybox_q, disk_qmips, cam_pack,
     t_offsets) -> (F, H, W, 3) background+disk composite, sharded over
@@ -132,14 +133,16 @@ def build_sharded_frame_renderer(
                     pos, dirs, d_dir_dx0=ddx, d_dir_dy0=ddy, **trace_kwargs,
                 )
             if has_disk and disk_mips.ndim == 3:
-                # Quad mip atlas (H, 2W, C): level count from geometry
-                # (build_mip_atlas_quad with levels=4, the layout
-                # render_image_tiled builds).
-                from ..ops.sampling import mip_atlas_level_count
-
-                num_levels = mip_atlas_level_count(
-                    int(disk_mips.shape[0]), int(disk_mips.shape[1]) // 2, 4
-                )
+                # Quad mip atlas (H, 2W, C): the level count travels
+                # with the atlas (the builder returned it) — a
+                # re-derivation here could silently disagree with the
+                # builder's `levels` and mis-address the atlas columns.
+                if atlas_num_levels is None:
+                    raise ValueError(
+                        "disk_mips is a mip atlas; pass atlas_num_levels"
+                        " (returned by build_mip_atlas_quad)"
+                    )
+                num_levels = int(atlas_num_levels)
             else:
                 num_levels = int(disk_mips.shape[0]) if has_disk else 1
             bg, disk_rgb, _ = shade_frame(
@@ -250,12 +253,15 @@ def render_image_tiled(config: SceneConfig) -> np.ndarray:
     )(jnp.asarray(skybox, jnp.float32))
     use_diff = config.use_ray_differentials
     tex = jnp.asarray(disk_tex, jnp.float32)
+    atlas_num_levels = None
     if use_diff:
         h, w = int(tex.shape[0]), int(tex.shape[1])
         if h % 16 == 0 and w % 16 == 0:
             from ..ops.sampling import build_mip_atlas_quad
 
-            qmips, _ = build_mip_atlas_quad(tex, 4, tex_dtype)
+            qmips, atlas_num_levels = build_mip_atlas_quad(
+                tex, 4, tex_dtype
+            )
         else:
             qmips = quantize_packed(
                 pack_quad_mips(build_mipmaps(tex, levels=4)), tex_dtype
@@ -269,7 +275,7 @@ def render_image_tiled(config: SceneConfig) -> np.ndarray:
         mesh, config, width, height, frames_per_device=1,
         r_escape=escape_radius(config.r_max, config.pov),
         has_disk=True, use_diff=use_diff, use_pallas=use_pallas,
-        return_layers=True,
+        return_layers=True, atlas_num_levels=atlas_num_levels,
     )
     cam = build_camera(config.pov, config.fov, width, height)
     cam_pack = jnp.asarray(pack_cameras([cam]))

@@ -27,8 +27,8 @@ from .ops import geodesic
 from .ops.bloom import apply_bloom
 from .ops.lens_flare import apply_lens_flare
 from .ops.sampling import (
-    build_mip_atlas_quad,
     build_mipmaps,
+    pack_mip_atlas_from_pyramid,
     pack_quad,
     pack_quad_mips,
     production_tex_dtype,
@@ -457,24 +457,24 @@ class Renderer:
 
         def _mip_and_pack(tex):
             # f32 padded pyramid kept for the disk_texture property /
-            # oracle paths; the LOD sampler gets the quad mip ATLAS
-            # (half the build+quantize traffic, single compact gather
-            # table) when sizes divide 2^levels — generated textures
-            # always do (multiples of 16); arbitrary external textures
-            # fall back to the padded quad pyramid. Non-LOD renders
-            # sample a single-level pack (no pyramid traffic at all).
+            # oracle paths; the quad mip ATLAS is packed FROM it (no
+            # second downsample chain) when sizes divide 2^levels —
+            # generated textures always do (multiples of 16). The atlas
+            # serves BOTH render modes (the non-LOD sampler slices its
+            # level-0 columns), so no third single-level quantize runs
+            # per texture update. Arbitrary external-texture sizes fall
+            # back to the padded quad pyramid + its level-0 slice.
             mips = build_mipmaps(tex, levels=mip_levels)
             h, w = int(tex.shape[0]), int(tex.shape[1])
             if (mip_levels > 0 and h % (1 << mip_levels) == 0
                     and w % (1 << mip_levels) == 0):
-                qmips, _ = build_mip_atlas_quad(
-                    tex, mip_levels, self.tex_dtype
-                )
+                qmips = pack_mip_atlas_from_pyramid(mips, self.tex_dtype)
+                q_l0 = None  # atlas serves non-LOD renders too
             else:
                 qmips = quantize_packed(
                     pack_quad_mips(mips), self.tex_dtype
                 )
-            q_l0 = quantize_packed(pack_quad(tex), self.tex_dtype)[None]
+                q_l0 = qmips[0:1]
             return mips, qmips, q_l0
 
         self._mip_fn = jax.jit(_mip_and_pack)
@@ -629,9 +629,11 @@ class Renderer:
         ) and not skip_differentials
         trace = self._trace(camera, r_escape, use_diff)
         t_offset = jnp.float32(frame * self.config.disk_rotation_speed)
-        # LOD renders sample the mip atlas; non-LOD renders the single
-        # level-0 pack (no pyramid traffic at all).
-        mips = self.disk_qmips if use_diff else self.disk_q_l0
+        # LOD renders sample the mip atlas; non-LOD renders its level-0
+        # columns (or the separate level-0 pack on the pyramid
+        # fallback).
+        mips = (self.disk_qmips if (use_diff or self.disk_q_l0 is None)
+                else self.disk_q_l0)
         if mips is None:  # placeholder so the arg structure is stable
             mips = jnp.zeros((1, 1, 1, 16), jnp.float32)
         bg, disk_rgb, _ = self._shade_fn(use_diff)(

@@ -57,8 +57,28 @@ class MJPEGServer:
         self._jpeg: Optional[bytes] = None
         self._seq = 0
         self._cond = threading.Condition()
+        self._key_lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
+
+    def _dispatch_key(self, k: str) -> None:
+        # Locked so set_key_handler can atomically swap the handler and
+        # drain queued keys without losing a concurrent press.
+        with self._key_lock:
+            if self.on_key is not None:
+                self.on_key(k)
+
+    def set_key_handler(self, fn: Callable[[str], None],
+                        backlog=None) -> None:
+        """Atomically install the real key handler and replay any keys
+        queued while it was absent (e.g. during the first compile)."""
+        with self._key_lock:
+            queued = list(backlog) if backlog is not None else []
+            if backlog is not None:
+                backlog.clear()
+            self.on_key = fn
+        for k in queued:
+            fn(k)
 
     # -- producer side ------------------------------------------------------
 
@@ -88,9 +108,11 @@ class MJPEGServer:
                 url = urlparse(self.path)
                 if url.path == "/key":
                     keys = parse_qs(url.query).get("k", [])
-                    if server.on_key is not None:
-                        for k in keys:
-                            server.on_key(k)
+                    for k in keys:
+                        # parse_qs decodes '+' as a space (form
+                        # encoding); the zoom-in key must still work
+                        # from a literal /key?k=+ URL.
+                        server._dispatch_key("+" if k == " " else k)
                     self.send_response(200)
                     self.send_header("Content-Type", "text/plain")
                     self.end_headers()
@@ -148,11 +170,20 @@ class MJPEGServer:
             return self._jpeg
 
     def _wait_frame(self, last_seq: int, timeout: float = 5.0):
-        """Block until a frame newer than last_seq exists (or timeout,
-        re-sending the current frame so proxies keep the stream warm)."""
+        """Block until a frame newer than last_seq exists.
+
+        Also blocks while NO frame exists yet (a viewer opening the
+        stream during the first compile must wait for frame 1, not get
+        an immediately-closed connection). On timeout with a frame
+        available, re-sends the current one so proxies keep the stream
+        warm. Returns (None, last_seq) only when the server is
+        stopping."""
         with self._cond:
-            if self._seq == last_seq:
-                self._cond.wait(timeout)
+            while self._httpd is not None and (
+                self._jpeg is None or self._seq == last_seq
+            ):
+                if not self._cond.wait(timeout) and self._jpeg is not None:
+                    break  # timeout: re-send the current frame
             if self._httpd is None:
                 return None, last_seq
             return self._jpeg, self._seq

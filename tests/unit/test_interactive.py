@@ -432,6 +432,13 @@ def test_mjpeg_preview_server_and_http_loop(tiny_cfg, monkeypatch):
         def start(self):
             pass
 
+        def set_key_handler(self, fn, backlog=None):
+            for k in (backlog or []):
+                fn(k)
+            if backlog is not None:
+                backlog.clear()
+            self.on_key = fn
+
         def submit(self, img):
             submitted.append(np.asarray(img).shape)
             if len(submitted) == 3:
@@ -453,3 +460,46 @@ def test_mjpeg_preview_server_and_http_loop(tiny_cfg, monkeypatch):
                         lambda config, port: called.setdefault("port", port))
     imod.run_interactive(tiny_cfg, preview_port=8089)
     assert called == {"port": 8089}
+
+
+def test_mjpeg_stream_open_before_first_frame_and_plus_key():
+    """Review fixes: a stream opened during the first compile must wait
+    for frame 1 (not close immediately), and /key?k=+ must map to the
+    zoom-in binding despite parse_qs decoding '+' as a space."""
+    import threading
+    import urllib.request
+
+    from bhr_tpu.utils.preview_server import MJPEGServer
+
+    keys = []
+    server = MJPEGServer(port=0, on_key=keys.append)
+    server.start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        got = {}
+
+        def read_stream():
+            with urllib.request.urlopen(base, timeout=30) as stream:
+                got["head"] = stream.read(64)
+
+        t = threading.Thread(target=read_stream, daemon=True)
+        t.start()
+        import time as _time
+
+        _time.sleep(0.5)  # stream connects while no frame exists yet
+        server.submit(np.zeros((8, 8, 3), np.uint8))
+        t.join(timeout=30)
+        assert b"--bhrframe" in got.get("head", b""), got
+
+        urllib.request.urlopen(f"{base}/key?k=+", timeout=10).read()
+        urllib.request.urlopen(f"{base}/key?k=%2B", timeout=10).read()
+        assert keys == ["+", "+"]
+
+        # Atomic handler swap replays the backlog exactly once.
+        replayed = []
+        server.set_key_handler(replayed.append, backlog=keys)
+        assert replayed == ["+", "+"] and keys == []
+        urllib.request.urlopen(f"{base}/key?k=q", timeout=10).read()
+        assert replayed == ["+", "+", "q"]
+    finally:
+        server.stop()

@@ -340,3 +340,18 @@ def test_render_image_auto_disk_texture_uses_cache(tiny_cfg, monkeypatch,
     img2 = render_image(cfg)
     assert calls == []  # cache hit: no regeneration
     np.testing.assert_array_equal(img, img2)
+
+
+def test_resume_params_key_generation_scale(tiny_cfg):
+    """The resolved generation scale is frame content (it is
+    size-adaptive): dynamic-texture videos must key it into resume
+    invalidation; external-texture and V2 runs have no such knob."""
+    from bhr_tpu.modes import video_resume_params
+
+    p = video_resume_params(tiny_cfg)
+    assert p["generation_scale"] == 2  # small texture -> scale 2
+    ext = dataclasses.replace(tiny_cfg, disk_texture="x.png",
+                              video=False)
+    assert "generation_scale" not in video_resume_params(ext)
+    v2 = dataclasses.replace(tiny_cfg, disk_model="v2")
+    assert "generation_scale" not in video_resume_params(v2)
