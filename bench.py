@@ -18,6 +18,8 @@ BENCH_r{N}.json round over round:
   vpu_mfu                slim-kernel FLOP/s vs the v5e VPU f32 peak
   vpu_mfu_aa             AA-kernel FLOP/s vs the same peak
   v2_frame_ms            FHD disk_v2 volume frame (8-sample transfer)
+  sd_video_fps           SD orbit video end-to-end (render + PNG +
+                         inline H.264; includes host fetch)
 
 Scene: the reference's headline config — FHD frame with procedural
 skybox, per-frame dynamic disk texture (lifecycle entities + evolving
@@ -314,6 +316,40 @@ def time_v2(batch: int = 8, skybox_q=None, tex_dtype=None) -> float:
     return (time.perf_counter() - t0) / batch * 1000.0
 
 
+def time_video_sd(n_frames: int = 48) -> float:
+    """End-to-end SD orbit-video frames/s: sharded render + PNG frames
+    + inline H.264, through the real render_video_sharded engine into a
+    temp dir. Single pass — on a warm compile cache (every round after
+    the first) this measures the engine; a cold first round folds
+    compile time in and reads low. Includes host fetch, so the number
+    is also environment-dependent (relayed-TPU tunnels cap it) — its
+    job is catching engine regressions round over round, not absolute
+    throughput (see README footnote 1).
+    """
+    import contextlib
+    import os
+    import tempfile
+
+    from bhr_tpu.config import SceneConfig
+    from bhr_tpu.parallel.video import render_video_sharded
+
+    with tempfile.TemporaryDirectory() as td:
+        cfg = SceneConfig(
+            resolution="sd", pov=(6.0, 0.0, 0.5), fov=90.0,
+            step_size=0.1, disk_inner_radius=2.0,
+            disk_outer_radius=15.0, disk_tilt=15.0,
+            video=True, orbit=True, n_frames=n_frames, fps=24,
+            output=os.path.join(td, "bench.mp4"),
+        ).validated()
+        t0 = time.perf_counter()
+        # The engine prints progress to stdout; bench.py's stdout
+        # must stay a single JSON line for the driver.
+        with contextlib.redirect_stdout(sys.stderr):
+            render_video_sharded(cfg)
+        dt = time.perf_counter() - t0
+    return round(n_frames / dt, 2)
+
+
 def _default_backend_alive(timeout_s: float = 180.0) -> bool:
     """Subprocess probe: a dead relayed-TPU tunnel hangs backend init
     ~20 min and the init lock then wedges this whole process — fail
@@ -333,6 +369,7 @@ def main() -> int:
     from bhr_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
+    t_start = time.perf_counter()
     skybox_q, tex_dtype = build_skybox_q()
 
     def log(msg):
@@ -369,6 +406,13 @@ def main() -> int:
             "fhd", 16, skybox_q, tex_dtype, anti_alias="lod_radius"), 2))
     aux("v2_frame_ms",
         lambda: round(time_v2(8, skybox_q, tex_dtype), 2))
+    # Time-budget guard: on a cold compile cache the earlier metrics
+    # already cost many minutes; never let the video pass push the
+    # whole bench past a driver timeout.
+    if time.perf_counter() - t_start < 900:
+        aux("sd_video_fps", time_video_sd)
+    else:
+        result["sd_video_fps"] = "skipped (bench time budget)"
 
     def trace_metrics(aa, prefix):
         tr = time_trace(aa)
