@@ -27,6 +27,7 @@ semantics twin of the reference kernel, /root/reference/render.py:
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -216,7 +217,14 @@ def build_ray_march_kernel(
             return jnp.logical_and(s[12] < max_iter, jnp.max(s[7]) > 0.5)
 
         r_in2 = r_inner * r_inner
-        gate_out = max(r_outer, 1.5 * rs) * 1.05
+        # Hit recording tests the PROJECTED radius hx^2 + hy^2 on the
+        # tilted plane z = y*tan(tilt); a recordable point at projected
+        # radius r_outer sits at 3-D radius up to r_outer/cos(tilt)
+        # (3-D r^2 = hx^2 + hy^2 (1 + tan^2 t)).  The outgoing gate must
+        # therefore clear the TILTED disk rim, or the slim phase skips
+        # recordable crossings for tilt > ~18 deg (bug found round 2).
+        cos_t = math.cos(math.radians(tilt_deg))
+        gate_out = max(r_outer / max(cos_t, 1e-6), 1.5 * rs) * 1.05
         gate_out2 = gate_out * gate_out
 
         def slim_eligible(s):

@@ -77,6 +77,34 @@ def test_pallas_padding_cropped():
     assert bool((res.captured | res.escaped).all())
 
 
+@pytest.mark.parametrize("tilt_deg", [25.0, 40.0, 60.0])
+def test_pallas_matches_pure_jax_high_tilt(tilt_deg):
+    """High-tilt parity: the slim-phase outgoing gate must clear the
+    TILTED disk rim (3-D radius up to r_outer/cos(tilt)), not the
+    equatorial r_outer — regression test for the round-2 bug where
+    tilt > ~18 deg made the slim phase skip recordable crossings
+    (observed: 263 Pallas hits vs 270 oracle hits at tilt=40)."""
+    W, H = 128, 48
+    cam = build_camera([6.0, 0.0, 0.5], 60.0, W, H)
+    kw = dict(
+        h_base=0.2, r_escape=12.04, tilt_deg=tilt_deg, r_inner=2.0,
+        r_outer=3.5, with_differentials=False,
+    )
+    res = trace_geodesics_pallas(
+        jnp.asarray(camera_params(cam)), width=W, height=H,
+        interpret=True, exit_check_every=8, **kw,
+    )
+    dirs, _, _ = geodesic.primary_rays(cam)
+    ref = geodesic.trace_geodesics(jnp.asarray(cam.pos), dirs, **kw)
+
+    np.testing.assert_array_equal(np.asarray(res.captured), np.asarray(ref.captured))
+    np.testing.assert_array_equal(np.asarray(res.escaped), np.asarray(ref.escaped))
+    np.testing.assert_array_equal(
+        np.asarray(res.hit_count), np.asarray(ref.hit_count)
+    )
+    assert int(np.asarray(ref.hit_count).sum()) > 0  # scene actually hits
+
+
 @pytest.mark.parametrize("exit_check_every", [1, 8])
 def test_step_counts_match_pure_jax(exit_check_every):
     """Per-ray RK4 step counts agree between the kernel and pure JAX.
