@@ -130,9 +130,21 @@ def _decode_quad(q: jnp.ndarray) -> jnp.ndarray:
 _GATHER_CHUNK = 1 << 19
 
 
-def _banded_map(fn, *arrays):
+def _banded_map(fn, *arrays, active=None):
     """Apply ``fn(*bands) -> (band, C)`` over _GATHER_CHUNK-sized bands
-    of equally-shaped flat arrays; single direct call when small."""
+    of equally-shaped flat arrays; single direct call when small.
+
+    ``active`` (optional flat bool, same length) marks lanes whose
+    output is actually consumed: bands whose active lanes are ALL False
+    skip ``fn`` entirely via lax.cond and return zeros. TPU row gathers
+    are issue-bound per index, so a skipped band saves its full gather
+    cost. The pixel flattening is row-major, so bands are horizontal
+    image stripes — disk hits cluster in the stripe the disk covers,
+    and stripes above/below it skip. EXACTNESS CONTRACT: the caller
+    must mask inactive lanes downstream (the shade passes multiply them
+    by zero alpha / `where(escaped)`), so zeros for a skipped band are
+    bit-identical to the values the masked path would have produced.
+    """
     n = arrays[0].shape[0]
     if n <= _GATHER_CHUNK:
         return fn(*arrays)
@@ -141,7 +153,27 @@ def _banded_map(fn, *arrays):
     banded = tuple(
         jnp.pad(a, (0, pad)).reshape(n_bands, _GATHER_CHUNK) for a in arrays
     )
-    out = jax.lax.map(lambda t: fn(*t), banded)
+    if active is None:
+        out = jax.lax.map(lambda t: fn(*t), banded)
+    else:
+        act = jnp.any(
+            jnp.pad(active, (0, pad)).reshape(n_bands, _GATHER_CHUNK),
+            axis=1,
+        )
+        out_sds = jax.eval_shape(
+            fn,
+            *(jax.ShapeDtypeStruct((_GATHER_CHUNK,), a.dtype) for a in arrays),
+        )
+
+        def body(t):
+            return jax.lax.cond(
+                t[-1],
+                lambda tt: fn(*tt),
+                lambda tt: jnp.zeros(out_sds.shape, out_sds.dtype),
+                t[:-1],
+            )
+
+        out = jax.lax.map(body, banded + (act,))
     return out.reshape(n_bands * _GATHER_CHUNK, -1)[:n]
 
 
@@ -156,9 +188,15 @@ def _take_rows(tab2d: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _bilinear_quad_gather(
-    qtex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, channels: int
+    qtex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, channels: int,
+    active=None,
 ) -> jnp.ndarray:
-    """Bilinear lookup from a quad-packed texture (one gather per sample)."""
+    """Bilinear lookup from a quad-packed texture (one gather per sample).
+
+    ``active`` (optional bool, batch-shaped) enables band-level gather
+    skipping — see :func:`_banded_map`; inactive lanes return zeros
+    when their whole band is inactive, so callers must mask them.
+    """
     tex_h, tex_w = qtex.shape[0], qtex.shape[1]
     batch_shape = u.shape
     u = u.reshape(-1)
@@ -177,11 +215,14 @@ def _bilinear_quad_gather(
     tab2d = qtex.reshape(tex_h * tex_w, -1)
     c = channels
 
-    out = _quad_blend_map(tab2d, flat, fu, fv, c)
+    out = _quad_blend_map(
+        tab2d, flat, fu, fv, c,
+        active=None if active is None else active.reshape(-1),
+    )
     return out.reshape(*batch_shape, c)
 
 
-def _quad_blend_map(tab2d, flat, fu, fv, c):
+def _quad_blend_map(tab2d, flat, fu, fv, c, active=None):
     """Banded gather + decode + bilinear blend over flat quad-row
     indices (the shared tail of every quad-packed sampler)."""
 
@@ -198,14 +239,18 @@ def _quad_blend_map(tab2d, flat, fu, fv, c):
             + c11 * fu_c * fv_c
         )
 
-    return _banded_map(blend, flat, fu, fv)
+    return _banded_map(blend, flat, fu, fv, active=active)
 
 
-def sample_skybox_quad(qtexture: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
+def sample_skybox_quad(
+    qtexture: jnp.ndarray, directions: jnp.ndarray, active=None
+) -> jnp.ndarray:
     """Equirect skybox sample from a quad-packed (H, W, 12) texture.
 
     Uses fast polynomial trig (ops/fastmath.py): the per-ray
     arccos/atan2 dominated the shading pass at exact precision.
+    ``active`` (e.g. the escaped mask) enables band-level gather
+    skipping; inactive lanes may return zeros and must be masked.
     """
     tex_h, tex_w = qtexture.shape[0], qtexture.shape[1]
     x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
@@ -214,7 +259,7 @@ def sample_skybox_quad(qtexture: jnp.ndarray, directions: jnp.ndarray) -> jnp.nd
     phi = jnp.where(phi < 0, phi + TWO_PI, phi)
     u = phi / TWO_PI * tex_w
     v = theta / jnp.pi * tex_h
-    return _bilinear_quad_gather(qtexture, u, v, 3)
+    return _bilinear_quad_gather(qtexture, u, v, 3, active=active)
 
 
 def sample_disk_quad(
@@ -224,11 +269,12 @@ def sample_disk_quad(
     r_inner: float,
     r_outer: float,
     t_offset: float = 0.0,
+    active=None,
 ) -> jnp.ndarray:
     """Disk RGBA sample from a quad-packed (n_r, n_phi, 16) texture."""
     u, v = _disk_uv(hit_x, hit_y, r_inner, r_outer, t_offset,
                     qtex.shape[1], qtex.shape[0], fast_trig=True)
-    return _bilinear_quad_gather(qtex, u, v, 4)
+    return _bilinear_quad_gather(qtex, u, v, 4, active=active)
 
 
 def pack_quad_mips(mips: jnp.ndarray) -> jnp.ndarray:
@@ -337,6 +383,7 @@ def sample_disk_mip_atlas(
     t_offset,
     lod: jnp.ndarray,
     channels: int = 4,
+    active=None,
 ) -> jnp.ndarray:
     """Mip-LOD sample from a quad-packed mip ATLAS (one gather/sample).
 
@@ -371,7 +418,8 @@ def sample_disk_mip_atlas(
     batch_shape = flat.shape
 
     out = _quad_blend_map(
-        tab2d, flat.reshape(-1), fu.reshape(-1), fv.reshape(-1), channels
+        tab2d, flat.reshape(-1), fu.reshape(-1), fv.reshape(-1), channels,
+        active=None if active is None else active.reshape(-1),
     )
     return out.reshape(*batch_shape, channels)
 
@@ -386,6 +434,7 @@ def sample_disk_mip_quad(
     t_offset: float,
     lod: jnp.ndarray,
     channels: int = 4,
+    active=None,
 ) -> jnp.ndarray:
     """Mip-LOD sample from a quad-packed pyramid (one gather per sample)."""
     base_h, base_w = qmips.shape[1], qmips.shape[2]
@@ -417,7 +466,8 @@ def sample_disk_mip_quad(
     batch_shape = flat.shape
 
     out = _quad_blend_map(
-        tab2d, flat.reshape(-1), fu.reshape(-1), fv.reshape(-1), c
+        tab2d, flat.reshape(-1), fu.reshape(-1), fv.reshape(-1), c,
+        active=None if active is None else active.reshape(-1),
     )
     return out.reshape(*batch_shape, c)
 
