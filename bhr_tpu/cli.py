@@ -118,6 +118,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --interactive on a headless host: serve "
                         "the live render as MJPEG over HTTP on this "
                         "port (keys injected via /key?k=...)")
+    p.add_argument("--preview_host", type=str, default="127.0.0.1",
+                   help="bind address for --preview_port (loopback by "
+                        "default: /key is unauthenticated; pass "
+                        "0.0.0.0 to expose beyond this host)")
     p.add_argument("--orbit", action="store_true")
     p.add_argument("--orbit_degrees", type=float, default=360.0,
                    help="total orbit sweep (negative = reverse)")
@@ -273,7 +277,8 @@ def main(argv=None) -> int:
     if config.interactive:
         from .interactive import run_interactive
 
-        run_interactive(config, preview_port=args.preview_port)
+        run_interactive(config, preview_port=args.preview_port,
+                        preview_host=args.preview_host)
     elif config.video:
         from .modes import render_video
 

@@ -48,10 +48,11 @@ def _build(config: SceneConfig):
 _HEADLESS_BACKENDS = {"agg", "pdf", "pgf", "ps", "svg", "template", "cairo"}
 
 
-def run_interactive(config: SceneConfig, preview_port: int = 0) -> None:
+def run_interactive(config: SceneConfig, preview_port: int = 0,
+                    preview_host: str = "127.0.0.1") -> None:
     """Dispatch to windowed, HTTP-stream, or headless preview."""
     if preview_port:
-        run_http_preview(config, preview_port)
+        run_http_preview(config, preview_port, host=preview_host)
         return
     env_backend = os.environ.get("MPLBACKEND", "").lower()
     if env_backend in _HEADLESS_BACKENDS:
@@ -74,7 +75,8 @@ def run_interactive(config: SceneConfig, preview_port: int = 0) -> None:
 
 
 def run_http_preview(config: SceneConfig, port: int,
-                     max_frames: Optional[int] = None) -> None:
+                     max_frames: Optional[int] = None,
+                     host: str = "127.0.0.1") -> None:
     """Interactive session streamed as MJPEG over HTTP (headless hosts).
 
     Serves the live render at http://host:port/ with the same key
@@ -89,9 +91,9 @@ def run_http_preview(config: SceneConfig, port: int,
     # more on first run): viewers get 503-until-first-frame instead of
     # connection-refused, and the URL prints immediately.
     pending_keys = []
-    server = MJPEGServer(port=port, on_key=pending_keys.append)
+    server = MJPEGServer(port=port, on_key=pending_keys.append, host=host)
     server.start()
-    print(f"Live preview: http://0.0.0.0:{server.port}/  "
+    print(f"Live preview: http://{server.host}:{server.port}/  "
           f"(keys via /key?k=d|b|l|up|down|+|-|0-8|q)", flush=True)
     sess = InteractiveSession(config)
     # Atomic swap + replay: keys pressed during the first compile land

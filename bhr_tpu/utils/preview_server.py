@@ -50,7 +50,11 @@ class MJPEGServer:
 
     def __init__(self, port: int = 8089,
                  on_key: Optional[Callable[[str], None]] = None,
-                 quality: int = 85):
+                 quality: int = 85, host: str = "127.0.0.1"):
+        # Loopback by default: /key is unauthenticated (it can inject
+        # 'q' and end the session), so remote exposure must be an
+        # explicit opt-in (--preview_host 0.0.0.0 / an SSH tunnel).
+        self.host = str(host)
         self._requested_port = int(port)
         self.on_key = on_key
         self.quality = int(quality)
@@ -157,7 +161,7 @@ class MJPEGServer:
                     return  # viewer closed the tab
 
         self._httpd = ThreadingHTTPServer(
-            ("0.0.0.0", self._requested_port), Handler
+            (self.host, self._requested_port), Handler
         )
         self._httpd.daemon_threads = True
         self._thread = threading.Thread(

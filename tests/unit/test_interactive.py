@@ -425,9 +425,11 @@ def test_mjpeg_preview_server_and_http_loop(tiny_cfg, monkeypatch):
 
     class _Srv:
         port = 1234
+        host = "127.0.0.1"
 
-        def __init__(self, port, on_key):
+        def __init__(self, port, on_key, host="127.0.0.1"):
             self.on_key = on_key
+            self.host = host
 
         def start(self):
             pass
@@ -454,12 +456,19 @@ def test_mjpeg_preview_server_and_http_loop(tiny_cfg, monkeypatch):
     assert submitted == [(4, 4, 3)] * 3 + ["stopped"]
     assert len(r.calls) == 3
 
-    # CLI dispatch: --interactive --preview_port routes here.
+    # CLI dispatch: --interactive --preview_port routes here; the bind
+    # host defaults to loopback (the /key endpoint is unauthenticated).
     called = {}
-    monkeypatch.setattr(imod, "run_http_preview",
-                        lambda config, port: called.setdefault("port", port))
+    monkeypatch.setattr(
+        imod, "run_http_preview",
+        lambda config, port, host="127.0.0.1":
+            called.update(port=port, host=host),
+    )
     imod.run_interactive(tiny_cfg, preview_port=8089)
-    assert called == {"port": 8089}
+    assert called == {"port": 8089, "host": "127.0.0.1"}
+    imod.run_interactive(tiny_cfg, preview_port=8089,
+                         preview_host="0.0.0.0")
+    assert called["host"] == "0.0.0.0"
 
 
 def test_mjpeg_stream_open_before_first_frame_and_plus_key():

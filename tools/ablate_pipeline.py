@@ -11,7 +11,7 @@ were found (disk gather 81 ms / sky gather 47 ms of the 4K frame).
 
 Usage:
     python tools/ablate_pipeline.py [--resolution 4k] [--aa] \
-        [--stages base,nosky,nodisk,nobloom,nomips]
+        [--stages base,nosky,nodisk,nobloom]
 """
 
 import argparse
