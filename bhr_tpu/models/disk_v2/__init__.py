@@ -34,6 +34,7 @@ from .structure_modulations import (
 )
 from .integrator import emissivity_volume, integrate_emission
 from .palette import apply_palette
+from .preview import render_cross_section, render_top_view
 
 __all__ = [
     "DiskV2Params",
@@ -56,4 +57,6 @@ __all__ = [
     "emissivity_volume",
     "integrate_emission",
     "apply_palette",
+    "render_top_view",
+    "render_cross_section",
 ]

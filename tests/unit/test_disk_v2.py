@@ -337,3 +337,32 @@ def test_hotspot_narrow_sigma_not_saturated():
     assert vals[0] <= 1.0 + sp.hotspot_strength + 1e-6
     assert np.all(np.diff(vals) < 0), vals
     assert vals[0] - vals[1] > 5e-3 * sp.hotspot_strength, vals
+
+
+def test_preview_top_view_and_cross_section():
+    """Preview diagnostics (design_ad_v2.md:454-470): finite, correctly
+    shaped, non-black inside the disk, dark outside it."""
+    from bhr_tpu.models.disk_v2 import render_cross_section, render_top_view
+
+    params = DiskV2Params(r_in=2.0, r_out=6.0)
+    top = np.asarray(render_top_view(params, size=96, seed=3))
+    assert top.shape == (96, 96, 3)
+    assert np.isfinite(top).all()
+    assert top.max() > 0.05  # emission visible
+    # Center (inside r_in) is dark; the disk annulus is not.
+    c = 48
+    assert top[c, c].max() < 1e-3
+    ring = top[c, int(c + 4.0 / (6.0 * 1.05) * c)]  # r ~ 4.0 sample
+    assert ring.max() > 0.01
+
+    for field in ("density", "temperature"):
+        cs = np.asarray(render_cross_section(
+            params, size_r=64, size_z=16, field=field))
+        assert cs.shape == (16, 64)
+        assert np.isfinite(cs).all()
+        assert 0.99 <= cs.max() <= 1.01  # normalized
+        # Midplane row is the brightest region (vertical falloff).
+        assert cs[8].mean() >= cs[0].mean()
+
+    with pytest.raises(ValueError):
+        render_cross_section(params, size_r=8, size_z=4, field="nope")
