@@ -1,10 +1,12 @@
 """Procedural equirectangular starfield skybox.
 
-One-time host-side asset generation (seeded NumPy), mirroring the feature
+One-time host-side asset generation (seeded NumPy), matching the feature
 set of the reference generator (/root/reference/render.py:153-368):
-galactic-plane density enhancement via rejection sampling, Salpeter IMF
-masses, mass-luminosity + mass-temperature relations, apparent-magnitude
-selection, Gaussian star blobs with horizontal wrap, Milky-Way glow with
+galactic-plane + bulge star density (here via Gumbel-top-k importance
+resampling over one fixed candidate batch; the reference loops rejection
+sampling), Salpeter IMF masses, mass-luminosity + mass-temperature
+relations, apparent-magnitude selection, Gaussian PSF blobs with
+horizontal wrap (here painted offset-major), Milky-Way glow with
 galactic-center brightening and 4-arm sinusoidal modulation.
 
 Asset generation runs once per scene (like a data-loading step), so it
@@ -36,6 +38,12 @@ _GAL_INCL = np.radians(62.87)
 _GAL_RA_CENTER = np.radians(266.4)
 _GAL_DEC_CENTER = np.radians(-28.9)
 
+# Bump when generate_skybox's output changes for the same (size, seed,
+# n_stars) — the on-disk cache key includes it, so stale pre-change
+# entries can never shadow a generator update. v2: Gumbel-top-k star
+# placement + offset-major PSF painting.
+_GENERATOR_VERSION = 2
+
 
 def _blackbody_rgb_np(temp_k: np.ndarray) -> np.ndarray:
     """NumPy twin of ops.shading.blackbody_rgb (host asset generation)."""
@@ -64,34 +72,43 @@ def _galactic_latitude(dec: np.ndarray, ra: np.ndarray) -> np.ndarray:
     return np.arcsin(np.clip(sin_b, -1.0, 1.0))
 
 
-def _sample_star_positions(rng: np.random.Generator, n_stars: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Rejection-sample star directions biased toward the galactic plane."""
-    phis: list = []
-    thetas: list = []
-    count = 0
-    batch = max(n_stars * 3, 256)
-    while count < n_stars:
-        z = rng.uniform(-1.0, 1.0, batch)
-        phi = rng.uniform(0.0, 2.0 * np.pi, batch)
-        theta = np.arccos(np.clip(z, -1.0, 1.0))
-        dec = np.pi / 2 - theta
+def _star_density(dec: np.ndarray, ra: np.ndarray) -> np.ndarray:
+    """Unnormalized sky density of stars at equatorial (dec, ra).
 
-        b = _galactic_latitude(dec, phi)
-        prob = 0.15 + 0.85 * np.exp(-0.5 * (b / np.radians(8.0)) ** 2)
-        cos_dist = (
-            np.sin(dec) * np.sin(_GAL_DEC_CENTER)
-            + np.cos(dec) * np.cos(_GAL_DEC_CENTER) * np.cos(phi - _GAL_RA_CENTER)
-        )
-        ang_dist = np.arccos(np.clip(cos_dist, -1.0, 1.0))
-        prob = prob + 0.3 * np.exp(-0.5 * (ang_dist / np.radians(20.0)) ** 2)
-        prob = prob / prob.max()
+    The visual recipe (SURVEY §2.1): a uniform isotropic floor, a
+    Gaussian band around the galactic plane (sigma 8 deg in latitude),
+    and a bulge around the galactic center (sigma 20 deg angular).
+    """
+    b = _galactic_latitude(dec, ra)
+    density = 0.15 + 0.85 * np.exp(-0.5 * (b / np.radians(8.0)) ** 2)
+    cos_sep = (
+        np.sin(dec) * np.sin(_GAL_DEC_CENTER)
+        + np.cos(dec) * np.cos(_GAL_DEC_CENTER) * np.cos(ra - _GAL_RA_CENTER)
+    )
+    center_sep = np.arccos(np.clip(cos_sep, -1.0, 1.0))
+    return density + 0.3 * np.exp(-0.5 * (center_sep / np.radians(20.0)) ** 2)
 
-        accept = rng.random(batch) < prob
-        need = n_stars - count
-        phis.extend(phi[accept][:need])
-        thetas.extend(theta[accept][:need])
-        count = len(phis)
-    return np.asarray(phis[:n_stars]), np.asarray(thetas[:n_stars])
+
+def _sample_star_positions(
+    rng: np.random.Generator, n_stars: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Star directions distributed as _star_density over the sphere.
+
+    One fixed-size candidate batch + Gumbel-top-k importance
+    resampling: perturb log-density with Gumbel noise and keep the
+    n_stars largest keys — an exact weighted sample WITHOUT
+    replacement, with no data-dependent accept/retry loop. (The
+    reference reaches the same distribution by looped rejection
+    sampling, /root/reference/render.py:186-233.)
+    """
+    m = max(n_stars * 8, 4096)
+    z = rng.uniform(-1.0, 1.0, m)  # uniform on the sphere
+    ra = rng.uniform(0.0, 2.0 * np.pi, m)
+    dec = np.arcsin(z)
+    weight = _star_density(dec, ra)
+    gumbel = -np.log(-np.log(rng.random(m) + 1e-300) + 1e-300)
+    keep = np.argpartition(-(np.log(weight) + gumbel), n_stars)[:n_stars]
+    return ra[keep], np.pi / 2 - dec[keep]
 
 
 def _sample_star_photometry(
@@ -140,27 +157,32 @@ def _splat_stars(
     brightness: np.ndarray,
     sigma: np.ndarray,
     colors: np.ndarray,
+    radius: int = 4,
 ) -> None:
-    """Additively splat Gaussian star blobs with horizontal wrap."""
+    """Accumulate Gaussian PSF blobs (u wraps, v clamps out of frame).
+
+    Offset-major: each of the (2*radius+1)^2 patch cells does ONE
+    vectorized scatter-add of every star's Gaussian-weighted color at
+    that offset. The per-cell Gaussian factor exp(-d2/(2 sigma^2))
+    depends only on (dy, dx) and the per-star sigma, so it is computed
+    per pass over an n_stars-sized working set — no flattened
+    star x patch index tensor is ever materialized.
+    """
     tex_h, tex_w = texture.shape[:2]
-    radius = 4
-    offsets = np.arange(-radius, radius + 1, dtype=np.float32)
-    dy, dx = np.meshgrid(offsets, offsets, indexing="ij")
-    dy = dy.ravel()
-    dx = dx.ravel()
-    n_patch = dy.size
-
-    px = (cx[:, None] + dx[None, :]).astype(int) % tex_w
-    py = (cy[:, None] + dy[None, :]).astype(int)
-    d2 = dx[None, :] ** 2 + dy[None, :] ** 2
-    vals = brightness[:, None] * np.exp(-d2 / (2.0 * sigma[:, None] ** 2))
-
-    in_bounds = (py >= 0) & (py < tex_h)
-    flat_y = py[in_bounds]
-    flat_x = px[in_bounds]
-    flat_vals = vals[in_bounds]
-    flat_cols = np.repeat(colors, n_patch, axis=0)[in_bounds.ravel()]
-    np.add.at(texture, (flat_y, flat_x), flat_cols * flat_vals[:, None])
+    col0 = np.floor(cx).astype(int)
+    row0 = np.floor(cy).astype(int)
+    energy = colors * brightness[:, None]
+    inv_two_sigma2 = 1.0 / (2.0 * sigma**2)
+    for dy in range(-radius, radius + 1):
+        rows = row0 + dy
+        on_sphere = (rows >= 0) & (rows < tex_h)  # v clamps out
+        for dx in range(-radius, radius + 1):
+            psf = np.exp(-(dx * dx + dy * dy) * inv_two_sigma2[on_sphere])
+            cols = (col0[on_sphere] + dx) % tex_w  # u wraps
+            np.add.at(
+                texture, (rows[on_sphere], cols),
+                energy[on_sphere] * psf[:, None],
+            )
 
 
 def _milky_way_glow(tex_w: int, tex_h: int) -> np.ndarray:
@@ -256,7 +278,8 @@ def load_or_generate_skybox(
 
     cache_path = None
     if cache_dir:
-        key = f"skybox_{tex_w}x{tex_h}_{seed}_{n_stars}.npy"
+        key = (f"skybox_v{_GENERATOR_VERSION}_"
+               f"{tex_w}x{tex_h}_{seed}_{n_stars}.npy")
         cache_path = os.path.join(cache_dir, key)
         if os.path.isfile(cache_path):
             try:
