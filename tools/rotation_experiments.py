@@ -90,13 +90,60 @@ def main() -> int:
     tex_dyn = np.asarray(dyn.advance(args.t, 0.1))
     dyn_s = time.time() - t0
 
-    print(f"state build:            {build_s * 1000:8.1f} ms (once)")
-    print(f"1) parametric roll:     {roll_s * 1000:8.1f} ms/frame")
-    print(f"2) full regeneration:   {regen_s * 1000:8.1f} ms/frame")
-    print(f"3) keyframe interp:     {key_s * 1000:8.1f} ms (2 keys + lerp)")
-    print(f"4) lifecycle dynamic:   {dyn_s * 1000:8.1f} ms/frame")
+    report = [
+        "# Disk-rotation experiment report",
+        "",
+        "Archived run of tools/rotation_experiments.py — the condensed "
+        "re-run of the reference's disk_rotation_experiments/ suite "
+        "(experiments 1-3 + component visualizations) against this "
+        "framework's implementations.",
+        "",
+        f"Scene: n_phi={args.n_phi} n_r={args.n_r} seed={args.seed} "
+        f"t={args.t}",
+        "",
+        "## Timings",
+        "",
+        "| strategy | ms/frame |",
+        "|---|---|",
+    ]
+
+    def emit(label, text):
+        print(text)
+        report.append(f"| {label} | {text.split(':', 1)[1].strip()} |")
+
+    emit("state build (once)",
+         f"state build:            {build_s * 1000:8.1f} ms (once)")
+    emit("1) parametric roll",
+         f"1) parametric roll:     {roll_s * 1000:8.1f} ms/frame")
+    emit("2) full regeneration",
+         f"2) full regeneration:   {regen_s * 1000:8.1f} ms/frame")
+    emit("3) keyframe interp",
+         f"3) keyframe interp:     {key_s * 1000:8.1f} ms (2 keys + lerp)")
+    emit("4) lifecycle dynamic",
+         f"4) lifecycle dynamic:   {dyn_s * 1000:8.1f} ms/frame")
     diff = np.abs(tex_keyframe - tex_roll)
-    print(f"keyframe-vs-roll error: mean {diff.mean():.4f} max {diff.max():.3f}")
+    err_line = (f"keyframe-vs-roll error: mean {diff.mean():.4f} "
+                f"max {diff.max():.3f}")
+    print(err_line)
+    report += [
+        "",
+        "## Interpolation error",
+        "",
+        err_line,
+        "",
+        "## Verdict",
+        "",
+        "Same ranking as the reference's COMPLETION_REPORT: the "
+        "parametric per-row roll (one take_along_axis over the "
+        "precomputed component state) is the per-frame winner; full "
+        "regeneration pays the whole compose cost every frame for no "
+        "visual gain; keyframe interpolation costs two composes plus a "
+        "lerp and introduces measurable blending error at fractional "
+        "t. The production lifecycle system builds on strategy 1 "
+        "(models/disk_texture.py compose_from_state) with the "
+        "background layer regenerated in rotating noise coordinates "
+        "(ops/background.py) — see the A/B section below.",
+    ]
 
     for name, tex in (("roll", tex_roll), ("keyframe", tex_keyframe),
                       ("dynamic", tex_dyn)):
@@ -152,6 +199,18 @@ def main() -> int:
         2.0, 3.5, args.t))
     print("\nA/B rotating-coords vs roll (per component, t="
           f"{args.t:.2f}):")
+    report += [
+        "",
+        f"## A/B: rotating-coords background vs rigid roll (t={args.t:.2f})",
+        "",
+        "Residual = |rotating-coords @ t - rolled-from-t0|, normalized "
+        "by the plane peak; combines the roll's integer-pixel "
+        "quantization with the background noise's genuine temporal "
+        "evolution.",
+        "",
+        "| component | mean | max |",
+        "|---|---|---|",
+    ]
     for i, name in enumerate(bg_names):
         if name.startswith("spiral"):
             continue  # forced to zero in the background path
@@ -160,6 +219,8 @@ def main() -> int:
         scale = max(np.abs(bg0[i]).max(), 1e-9)
         print(f"  {name:12s} mean {d.mean() / scale:.4f} "
               f"max {d.max() / scale:.3f} (of plane peak)")
+        report.append(f"| {name} | {d.mean() / scale:.4f} "
+                      f"| {d.max() / scale:.3f} |")
         lo, hi = bg0[i].min(), bg0[i].max() + 1e-9
         norm = lambda p: np.repeat(
             (np.clip((p - lo) / (hi - lo), 0, 1))[..., None], 3, -1)
@@ -170,8 +231,20 @@ def main() -> int:
         )
         save_image(strip, os.path.join(args.out, f"ab_{name}.png"))
 
+    report += [
+        "",
+        "## Artifacts",
+        "",
+        "tex_{roll,keyframe,dynamic}.png, comp_NN_<name>.png (13 "
+        "component maps), rot_NN_<name>.png (13 rotation strips at 4 "
+        "t-offsets), ab_<name>.png (A/B strips: rotating-coords | "
+        "rolled | 5x diff).",
+    ]
+    with open(os.path.join(args.out, "REPORT.md"), "w") as f:
+        f.write("\n".join(report) + "\n")
+
     print(f"\nWrote textures + 13 component maps + 13 rotation strips "
-          f"+ A/B strips to {args.out}/")
+          f"+ A/B strips + REPORT.md to {args.out}/")
     return 0
 
 
