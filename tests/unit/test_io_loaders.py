@@ -9,7 +9,9 @@ import os
 import numpy as np
 import pytest
 
-from bhr_tpu.models.skybox import load_or_generate_skybox
+from bhr_tpu.models.skybox import _GENERATOR_VERSION, load_or_generate_skybox
+
+_CACHE_NAME = f"skybox_v{_GENERATOR_VERSION}_128x64_1_50.npy"
 from bhr_tpu.utils.io import compute_edge_alpha, load_disk_texture
 
 
@@ -62,8 +64,7 @@ def test_generate_when_no_path(tmp_path):
     assert tex.shape == (64, 128, 3)
     assert tex.max() > 0
     # Second call must hit the .npy cache and return identical pixels.
-    assert os.path.isfile(
-        os.path.join(cache, "skybox_128x64_1_50.npy"))
+    assert os.path.isfile(os.path.join(cache, _CACHE_NAME))
     tex2, _, _ = load_or_generate_skybox(None, tex_w=128, tex_h=64,
                                          n_stars=50, seed=1, cache_dir=cache)
     assert np.array_equal(tex, tex2)
@@ -76,7 +77,7 @@ def test_generate_when_no_path(tmp_path):
 def test_skybox_cache_corrupt_entry_regenerates(tmp_path):
     cache = str(tmp_path / "cache")
     os.makedirs(cache)
-    with open(os.path.join(cache, "skybox_128x64_1_50.npy"), "wb") as f:
+    with open(os.path.join(cache, _CACHE_NAME), "wb") as f:
         f.write(b"not an npy file")
     tex, _, _ = load_or_generate_skybox(None, tex_w=128, tex_h=64,
                                         n_stars=50, seed=1, cache_dir=cache)
