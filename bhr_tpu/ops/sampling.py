@@ -130,21 +130,9 @@ def _decode_quad(q: jnp.ndarray) -> jnp.ndarray:
 _GATHER_CHUNK = 1 << 19
 
 
-def _banded_map(fn, *arrays, active=None):
+def _banded_map(fn, *arrays):
     """Apply ``fn(*bands) -> (band, C)`` over _GATHER_CHUNK-sized bands
-    of equally-shaped flat arrays; single direct call when small.
-
-    ``active`` (optional flat bool, same length) marks lanes whose
-    output is actually consumed: bands whose active lanes are ALL False
-    skip ``fn`` entirely via lax.cond and return zeros. TPU row gathers
-    are issue-bound per index, so a skipped band saves its full gather
-    cost. The pixel flattening is row-major, so bands are horizontal
-    image stripes — disk hits cluster in the stripe the disk covers,
-    and stripes above/below it skip. EXACTNESS CONTRACT: the caller
-    must mask inactive lanes downstream (the shade passes multiply them
-    by zero alpha / `where(escaped)`), so zeros for a skipped band are
-    bit-identical to the values the masked path would have produced.
-    """
+    of equally-shaped flat arrays; single direct call when small."""
     n = arrays[0].shape[0]
     if n <= _GATHER_CHUNK:
         return fn(*arrays)
@@ -153,27 +141,7 @@ def _banded_map(fn, *arrays, active=None):
     banded = tuple(
         jnp.pad(a, (0, pad)).reshape(n_bands, _GATHER_CHUNK) for a in arrays
     )
-    if active is None:
-        out = jax.lax.map(lambda t: fn(*t), banded)
-    else:
-        act = jnp.any(
-            jnp.pad(active, (0, pad)).reshape(n_bands, _GATHER_CHUNK),
-            axis=1,
-        )
-        out_sds = jax.eval_shape(
-            fn,
-            *(jax.ShapeDtypeStruct((_GATHER_CHUNK,), a.dtype) for a in arrays),
-        )
-
-        def body(t):
-            return jax.lax.cond(
-                t[-1],
-                lambda tt: fn(*tt),
-                lambda tt: jnp.zeros(out_sds.shape, out_sds.dtype),
-                t[:-1],
-            )
-
-        out = jax.lax.map(body, banded + (act,))
+    out = jax.lax.map(lambda t: fn(*t), banded)
     return out.reshape(n_bands * _GATHER_CHUNK, -1)[:n]
 
 
@@ -188,15 +156,9 @@ def _take_rows(tab2d: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _bilinear_quad_gather(
-    qtex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, channels: int,
-    active=None,
+    qtex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, channels: int
 ) -> jnp.ndarray:
-    """Bilinear lookup from a quad-packed texture (one gather per sample).
-
-    ``active`` (optional bool, batch-shaped) enables band-level gather
-    skipping — see :func:`_banded_map`; inactive lanes return zeros
-    when their whole band is inactive, so callers must mask them.
-    """
+    """Bilinear lookup from a quad-packed texture (one gather per sample)."""
     tex_h, tex_w = qtex.shape[0], qtex.shape[1]
     batch_shape = u.shape
     u = u.reshape(-1)
@@ -215,14 +177,11 @@ def _bilinear_quad_gather(
     tab2d = qtex.reshape(tex_h * tex_w, -1)
     c = channels
 
-    out = _quad_blend_map(
-        tab2d, flat, fu, fv, c,
-        active=None if active is None else active.reshape(-1),
-    )
+    out = _quad_blend_map(tab2d, flat, fu, fv, c)
     return out.reshape(*batch_shape, c)
 
 
-def _quad_blend_map(tab2d, flat, fu, fv, c, active=None):
+def _quad_blend_map(tab2d, flat, fu, fv, c):
     """Banded gather + decode + bilinear blend over flat quad-row
     indices (the shared tail of every quad-packed sampler)."""
 
@@ -239,18 +198,14 @@ def _quad_blend_map(tab2d, flat, fu, fv, c, active=None):
             + c11 * fu_c * fv_c
         )
 
-    return _banded_map(blend, flat, fu, fv, active=active)
+    return _banded_map(blend, flat, fu, fv)
 
 
-def sample_skybox_quad(
-    qtexture: jnp.ndarray, directions: jnp.ndarray, active=None
-) -> jnp.ndarray:
+def sample_skybox_quad(qtexture: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
     """Equirect skybox sample from a quad-packed (H, W, 12) texture.
 
     Uses fast polynomial trig (ops/fastmath.py): the per-ray
     arccos/atan2 dominated the shading pass at exact precision.
-    ``active`` (e.g. the escaped mask) enables band-level gather
-    skipping; inactive lanes may return zeros and must be masked.
     """
     tex_h, tex_w = qtexture.shape[0], qtexture.shape[1]
     x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
@@ -259,7 +214,7 @@ def sample_skybox_quad(
     phi = jnp.where(phi < 0, phi + TWO_PI, phi)
     u = phi / TWO_PI * tex_w
     v = theta / jnp.pi * tex_h
-    return _bilinear_quad_gather(qtexture, u, v, 3, active=active)
+    return _bilinear_quad_gather(qtexture, u, v, 3)
 
 
 def sample_disk_quad(
@@ -269,12 +224,11 @@ def sample_disk_quad(
     r_inner: float,
     r_outer: float,
     t_offset: float = 0.0,
-    active=None,
 ) -> jnp.ndarray:
     """Disk RGBA sample from a quad-packed (n_r, n_phi, 16) texture."""
     u, v = _disk_uv(hit_x, hit_y, r_inner, r_outer, t_offset,
                     qtex.shape[1], qtex.shape[0], fast_trig=True)
-    return _bilinear_quad_gather(qtex, u, v, 4, active=active)
+    return _bilinear_quad_gather(qtex, u, v, 4)
 
 
 def pack_quad_mips(mips: jnp.ndarray) -> jnp.ndarray:
@@ -383,7 +337,6 @@ def sample_disk_mip_atlas(
     t_offset,
     lod: jnp.ndarray,
     channels: int = 4,
-    active=None,
 ) -> jnp.ndarray:
     """Mip-LOD sample from a quad-packed mip ATLAS (one gather/sample).
 
@@ -418,8 +371,7 @@ def sample_disk_mip_atlas(
     batch_shape = flat.shape
 
     out = _quad_blend_map(
-        tab2d, flat.reshape(-1), fu.reshape(-1), fv.reshape(-1), channels,
-        active=None if active is None else active.reshape(-1),
+        tab2d, flat.reshape(-1), fu.reshape(-1), fv.reshape(-1), channels
     )
     return out.reshape(*batch_shape, channels)
 
@@ -434,7 +386,6 @@ def sample_disk_mip_quad(
     t_offset: float,
     lod: jnp.ndarray,
     channels: int = 4,
-    active=None,
 ) -> jnp.ndarray:
     """Mip-LOD sample from a quad-packed pyramid (one gather per sample)."""
     base_h, base_w = qmips.shape[1], qmips.shape[2]
@@ -466,8 +417,7 @@ def sample_disk_mip_quad(
     batch_shape = flat.shape
 
     out = _quad_blend_map(
-        tab2d, flat.reshape(-1), fu.reshape(-1), fv.reshape(-1), c,
-        active=None if active is None else active.reshape(-1),
+        tab2d, flat.reshape(-1), fu.reshape(-1), fv.reshape(-1), c
     )
     return out.reshape(*batch_shape, c)
 

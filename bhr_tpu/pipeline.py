@@ -244,14 +244,13 @@ def shade_frame(
                            else sample_disk_mip_quad)
                 rgba = sampler(
                     disk_qmips, num_mip_levels, hit_x, hit_y,
-                    r_inner, r_outer, t_offset, lod, active=valid,
+                    r_inner, r_outer, t_offset, lod,
                 )
             else:
                 level0 = (disk_qmips[:, :dtex_w] if is_atlas
                           else disk_qmips[0])
                 rgba = sample_disk_quad(
-                    level0, hit_x, hit_y, r_inner, r_outer, t_offset,
-                    active=valid,
+                    level0, hit_x, hit_y, r_inner, r_outer, t_offset
                 )
             rgba = rgba.astype(jnp.float32)
 
@@ -287,9 +286,7 @@ def shade_frame(
 
     bg = jnp.where(
         trace.escaped[:, None],
-        sample_skybox_quad(
-            skybox_q, trace.escape_dir, active=trace.escaped
-        ).astype(jnp.float32),
+        sample_skybox_quad(skybox_q, trace.escape_dir).astype(jnp.float32),
         0.0,
     )
     bg = bg * (1.0 - alpha_total)[:, None]
@@ -393,9 +390,7 @@ def shade_frame_v2(
 
     bg = jnp.where(
         trace.escaped[:, None],
-        sample_skybox_quad(
-            skybox_q, trace.escape_dir, active=trace.escaped
-        ).astype(jnp.float32),
+        sample_skybox_quad(skybox_q, trace.escape_dir).astype(jnp.float32),
         0.0,
     )
     bg = bg * (1.0 - alpha_total)[:, None]

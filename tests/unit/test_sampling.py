@@ -295,84 +295,3 @@ def test_mip_atlas_rejects_indivisible():
     tex = jnp.zeros((60, 250, 4), jnp.float32)
     with pytest.raises(ValueError):
         build_mip_atlas_quad(tex, 4, jnp.float32)
-
-
-class TestBandSkip:
-    """Band-level gather skipping (``active=`` on the quad samplers).
-
-    Bands whose active lanes are all False skip the gather and return
-    zeros; active lanes must be bit-identical to the unmasked path.
-    Production band size is 0.5M lanes, so we shrink it to force
-    multiple bands on test-sized inputs.
-    """
-
-    def _patch_chunk(self, monkeypatch, size=256):
-        from bhr_tpu.ops import sampling
-        monkeypatch.setattr(sampling, "_GATHER_CHUNK", size)
-
-    def test_skybox_active_lanes_bit_equal(self, monkeypatch):
-        from bhr_tpu.ops.sampling import pack_quad, sample_skybox_quad
-        self._patch_chunk(monkeypatch)
-        rng = np.random.default_rng(7)
-        tex = rng.random((32, 64, 3)).astype(np.float32)
-        q = pack_quad(jnp.asarray(tex))
-        n = 1500  # -> 6 bands of 256 at the patched chunk size
-        dirs = rng.normal(size=(n, 3)).astype(np.float32)
-        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-        # Inactive stripes: lanes 0-511 (two full bands) and a partial
-        # stripe inside band 3.
-        active = np.ones(n, bool)
-        active[:512] = False
-        active[800:850] = False
-        full = np.asarray(sample_skybox_quad(q, jnp.asarray(dirs)))
-        skip = np.asarray(
-            sample_skybox_quad(q, jnp.asarray(dirs), active=jnp.asarray(active))
-        )
-        np.testing.assert_array_equal(skip[active], full[active])
-        # The two fully-inactive bands return zeros.
-        assert not skip[:512].any()
-        # Partially-active band: inactive lanes still computed (band
-        # granularity), so they match the full pass.
-        np.testing.assert_array_equal(skip[800:850], full[800:850])
-
-    def test_disk_quad_active_lanes_bit_equal(self, monkeypatch):
-        from bhr_tpu.ops.sampling import pack_quad, sample_disk_quad
-        self._patch_chunk(monkeypatch)
-        rng = np.random.default_rng(8)
-        tex = rng.random((64, 128, 4)).astype(np.float32)
-        q = pack_quad(jnp.asarray(tex))
-        n = 1024
-        hx = rng.uniform(-4, 4, n).astype(np.float32)
-        hy = rng.uniform(-4, 4, n).astype(np.float32)
-        active = np.zeros(n, bool)
-        active[256:640] = True  # bands 0 and 3 fully inactive
-        full = np.asarray(sample_disk_quad(q, jnp.asarray(hx), jnp.asarray(hy),
-                                           2.0, 3.5, 0.3))
-        skip = np.asarray(sample_disk_quad(q, jnp.asarray(hx), jnp.asarray(hy),
-                                           2.0, 3.5, 0.3,
-                                           active=jnp.asarray(active)))
-        np.testing.assert_array_equal(skip[active], full[active])
-        assert not skip[:256].any() and not skip[768:].any()
-
-    def test_mip_atlas_active_lanes_bit_equal(self, monkeypatch):
-        from bhr_tpu.ops.sampling import (
-            build_mip_atlas_quad, sample_disk_mip_atlas,
-        )
-        self._patch_chunk(monkeypatch)
-        rng = np.random.default_rng(9)
-        tex = rng.random((64, 128, 4)).astype(np.float32)
-        atlas, n_levels = build_mip_atlas_quad(jnp.asarray(tex), 3, jnp.float32)
-        n = 768
-        hx = rng.uniform(-4, 4, n).astype(np.float32)
-        hy = rng.uniform(-4, 4, n).astype(np.float32)
-        lod = rng.uniform(0, 3, n).astype(np.float32)
-        active = np.ones(n, bool)
-        active[512:] = False  # last band fully inactive
-        args = (n_levels, jnp.asarray(hx), jnp.asarray(hy), 2.0, 3.5, 0.1,
-                jnp.asarray(lod))
-        full = np.asarray(sample_disk_mip_atlas(atlas, *args))
-        skip = np.asarray(
-            sample_disk_mip_atlas(atlas, *args, active=jnp.asarray(active))
-        )
-        np.testing.assert_array_equal(skip[active], full[active])
-        assert not skip[512:].any()
