@@ -87,6 +87,24 @@ def pack_frame_params(
     return (np.stack(fils), np.stack(hss), np.stack(rts))
 
 
+# Built renderers, memoized on every static parameter that shapes the
+# traced program. A fresh jax.jit wrapper re-traces the full pipeline
+# (seconds) even when XLA's compilation cache supplies the binary —
+# and video rendering rebuilds renderers across calls all the time
+# (bench warm-up then timed pass, resume restarts in one process,
+# verify tooling). Keyed explicitly so two configs that trace the same
+# program share one wrapper; bounded because keys are tiny and real
+# processes build a handful of distinct renderers at most.
+_RENDERER_MEMO: dict = {}
+_RENDERER_MEMO_MAX = 16
+
+# Test/debug override for the adaptive frames-per-device dispatch
+# sizing in render_video_sharded (None = adaptive). Batch-count-
+# sensitive tests (failure injection on batch N, resume after one
+# batch) pin this so tiny scenes still produce multiple batches.
+FRAMES_PER_DISPATCH: Optional[int] = None
+
+
 def build_sharded_video_renderer(
     mesh: Mesh,
     config: SceneConfig,
@@ -118,13 +136,26 @@ def build_sharded_video_renderer(
         generation_scale = 1
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if tex_dtype is None:
+        tex_dtype = production_tex_dtype()
+    memo_key = (
+        mesh, width, height, n_r, n_phi,
+        float(r_escape), float(az_freq), float(az_shear),
+        bool(use_pallas), int(mip_levels), jnp.dtype(tex_dtype).name,
+        int(generation_scale),
+        float(cfg.step_size), float(cfg.disk_tilt),
+        float(cfg.disk_inner_radius), float(cfg.disk_outer_radius),
+        bool(cfg.use_ray_differentials), float(cfg.aa_strength),
+        bool(cfg.lens_flare),
+    )
+    hit = _RENDERER_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     # Ray-differential AA in video mode, matching the reference's
     # render() honoring anti_alias (render.py:3874). When disabled,
     # only mip level 0 is ever sampled, so skip the pyramid build +
     # quad-pack entirely (~20 ms/frame at FHD texture sizes).
     use_diff = cfg.use_ray_differentials
-    if tex_dtype is None:
-        tex_dtype = production_tex_dtype()
 
     # The shared radial/omega helper guarantees entity phases are
     # bit-identical across the sequential and sharded engines.
@@ -239,7 +270,11 @@ def build_sharded_video_renderer(
         out_specs=P("frames"),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    fn = jax.jit(sharded)
+    if len(_RENDERER_MEMO) >= _RENDERER_MEMO_MAX:
+        _RENDERER_MEMO.pop(next(iter(_RENDERER_MEMO)))
+    _RENDERER_MEMO[memo_key] = fn
+    return fn
 
 
 def globalize_host_array(mesh: Mesh, spec, host_array) -> jnp.ndarray:
@@ -288,12 +323,18 @@ def render_video_frames_sharded(
     all_hs: np.ndarray,
     all_rt: np.ndarray,
     renderer_fn=None,
-) -> Tuple[list, object]:
+    defer_fetch: bool = False,
+) -> Tuple[object, object]:
     """Render one batch of frames (len divisible by the frames axis).
 
     Returns ([(position_in_batch, uint8 frame)] for the frames this
     process's devices hold — all of them on a single host — and the
-    compiled renderer for reuse).
+    compiled renderer for reuse). With defer_fetch=True the first
+    element is instead the still-on-device output array (dispatch is
+    async, so the call returns as soon as the program is enqueued):
+    the caller fetches via _fetch_addressable_frames when it needs the
+    pixels, which lets it dispatch the NEXT batch first and overlap
+    this batch's device->host transfer with that batch's compute.
     """
     width, height = config.image_size
     # One camera-placement implementation for every engine: a drift
@@ -321,6 +362,8 @@ def render_video_frames_sharded(
     else:
         batch_args = tuple(jnp.asarray(a) for a in batch_args)
     out = renderer_fn(skybox_q, *batch_args)
+    if defer_fetch:
+        return out, renderer_fn
     return _fetch_addressable_frames(out), renderer_fn
 
 
@@ -330,7 +373,8 @@ def render_video_sharded(config: SceneConfig) -> None:
 
     Batch size = frames_axis * frames_per_device; progress.json is
     updated after each completed batch, so interrupting loses at most
-    one batch.
+    the two batches in flight (lookahead pipelining keeps one batch
+    rendering while the previous one is fetched and written).
 
     Multi-host (jax.process_count() > 1, via --coordinator_address):
     frames shard over every host's chips with zero cross-host traffic
@@ -378,7 +422,22 @@ def render_video_sharded(config: SceneConfig) -> None:
             f"({len(devices)}), got {n_shards}"
         )
     mesh = make_frame_mesh(n_shards, 1, devices=devices[:n_shards])
-    frames_per_device = 2 if n_shards > 1 else 4
+    # Frames per device per dispatch: each dispatch pays a fixed
+    # host-side latency (enqueue + fetch round trip — relayed-TPU
+    # tunnels make it frame-sized at SD), so batch small frames until
+    # a dispatch carries ~4 FHD frames' worth of pixels. Capped at 16,
+    # floored at the round-2 defaults (FHD/4K behave exactly as
+    # before), and bounded by the video length so short videos and
+    # tiny test scenes don't compile mostly-padding programs. Derived
+    # from config only — multi-host processes must agree on the batch.
+    if FRAMES_PER_DISPATCH is not None:
+        frames_per_device = int(FRAMES_PER_DISPATCH)
+    else:
+        frames_per_device = min(
+            16, max(2 if n_shards > 1 else 4,
+                    (4 * 1920 * 1080) // (width * height)))
+        frames_per_device = max(
+            1, min(frames_per_device, -(-config.n_frames // n_shards)))
     batch = n_shards * frames_per_device
 
     output_path = config.output
@@ -501,14 +560,10 @@ def render_video_sharded(config: SceneConfig) -> None:
         if n_proc > 1:
             _stack.enter_context(_abort_fleet_on_error())
         _stack.enter_context(assembler)
-        for b in range(n_batches):
-            chunk = pending[b * batch : (b + 1) * batch]
-            idx = chunk + [chunk[-1]] * (batch - len(chunk))
-            frames, renderer_fn = render_video_frames_sharded(
-                config, mesh, idx, skybox_q, dynamic,
-                all_fil, all_hs, all_rt, renderer_fn,
-            )
-            for pos, frame in frames:
+
+        def process(b, chunk, out):
+            """Fetch + durably record one dispatched batch."""
+            for pos, frame in _fetch_addressable_frames(out):
                 if pos >= len(chunk):
                     continue  # padding repeat of the last frame
                 f = chunk[pos]
@@ -543,6 +598,28 @@ def render_video_sharded(config: SceneConfig) -> None:
                 say(f"batch {b + 1}/{n_batches} "
                     f"done {done}/{config.n_frames} "
                     f"({rate:.2f} frames/s)")
+
+        # One-batch lookahead: dispatch batch b+1 (async — returns as
+        # soon as the program is enqueued) BEFORE fetching batch b, so
+        # b's device->host transfer + PNG/H.264 encode overlap b+1's
+        # compute instead of serializing with it. Progress still
+        # records a batch only after its PNGs are on disk, so resume
+        # semantics are unchanged; an interrupt now loses at most the
+        # in-flight batch plus the one being recorded.
+        inflight = None
+        for b in range(n_batches):
+            chunk = pending[b * batch : (b + 1) * batch]
+            idx = chunk + [chunk[-1]] * (batch - len(chunk))
+            out, renderer_fn = render_video_frames_sharded(
+                config, mesh, idx, skybox_q, dynamic,
+                all_fil, all_hs, all_rt, renderer_fn,
+                defer_fetch=True,
+            )
+            if inflight is not None:
+                process(*inflight)
+            inflight = (b, chunk, out)
+        if inflight is not None:
+            process(*inflight)
         writer.close()
 
         say(f"All frames rendered in "

@@ -42,7 +42,12 @@ assert n == 2, n
 assert jax.device_count() == 4, jax.device_count()
 assert jax.process_index() == pid
 from bhr_tpu.config import SceneConfig
+import bhr_tpu.parallel.video as V
 from bhr_tpu.parallel.video import render_video_sharded
+# Pin dispatch sizing: this test's padding-skip coverage needs the
+# 9-frames-over-batch-of-8 layout, not the adaptive (single-batch)
+# sizing a 32x16 scene would get.
+V.FRAMES_PER_DISPATCH = 2
 cfg = SceneConfig(
     width=32, height=16, fov=60.0, step_size=0.2,
     disk_inner_radius=2.0, disk_outer_radius=3.5, disk_tilt=15.0,
@@ -143,14 +148,23 @@ def test_all_frames_written_and_video_assembled(multihost_run):
     assert sorted(progress["completed"]) == list(range(N_FRAMES))
 
 
-def test_frames_match_single_process(multihost_run):
+def test_frames_match_single_process(multihost_run, monkeypatch):
     """Bitwise frame identity: the multi-controller render is the same
-    jitted program, so CPU frames must match a single-process render."""
+    jitted program, so CPU frames must match a single-process render.
+
+    Bit-equality holds only for identical PER-DEVICE batch shapes (a
+    different frames-per-device count compiles a different lax.map
+    program, whose fusion can differ by 1 ULP — enough to flip a uint8
+    pixel after rounding), so this pins the same dispatch sizing the
+    multihost workers used.
+    """
     from PIL import Image
 
     from bhr_tpu.config import SceneConfig
+    import bhr_tpu.parallel.video as V
     from bhr_tpu.parallel.video import render_video_sharded
 
+    monkeypatch.setattr(V, "FRAMES_PER_DISPATCH", 2)
     outdir, _, _ = multihost_run
     sp_out = outdir / "sp"
     sp_out.mkdir()
@@ -228,6 +242,9 @@ from bhr_tpu.parallel.mesh import initialize_multihost
 initialize_multihost("127.0.0.1:" + port, 2, pid,
                      heartbeat_timeout_seconds=10)
 import bhr_tpu.parallel.video as V
+# Pin dispatch sizing so the injected failure lands on a SECOND batch
+# (adaptive sizing would fit this tiny scene in one batch).
+V.FRAMES_PER_DISPATCH = 2
 real = V.render_video_frames_sharded
 calls = [0]
 def inject(*a, **kw):
