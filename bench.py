@@ -15,11 +15,22 @@ BENCH_r{N}.json round over round:
   fhd_trace_aa_ms        FHD trace with differential transport
   mray_steps_per_s       useful RK4 ray-steps/s (slim kernel)
   mray_steps_per_s_aa    same, AA kernel (3 coupled systems/step)
-  vpu_mfu                slim-kernel FLOP/s vs the v5e VPU f32 peak
-  vpu_mfu_aa             AA-kernel FLOP/s vs the same peak
+  vpu_mfu                classic MFU: arithmetic FLOP/s (cmp/select
+                         excluded) vs the v5e VPU f32 issue peak
+  vpu_mfu_aa             same, AA kernel
+  vpu_issue_util         issued vector ops (incl. cmp/select) vs the
+                         same peak — lane occupancy; 1 - this is the
+                         tile-divergence + pipeline slack
+  vpu_issue_util_aa      same, AA kernel
+  gather_ns_per_index    production row-gather microbench (16 B rows,
+                         banded lax.map) — THE shade-pass floor;
+                         DESIGN.md lessons 10/12 rest on this number
   v2_frame_ms            FHD disk_v2 volume frame (8-sample transfer)
-  sd_video_fps           SD orbit video end-to-end (render + PNG +
-                         inline H.264; includes host fetch)
+  sd_video_fps           SD orbit video end-to-end, warm steady state
+                         (render + PNG + inline H.264; includes host
+                         fetch — see README footnote 1)
+  interactive_sd_fps     InteractiveSession.step throughput (SD,
+                         dynamic texture, render + host fetch)
 
 Scene: the reference's headline config — FHD frame with procedural
 skybox, per-frame dynamic disk texture (lifecycle entities + evolving
@@ -39,30 +50,44 @@ import json
 import sys
 import time
 
-# --- FLOPs-per-RK4-step model (roofline accounting) -----------------------
+# --- Vector-ops-per-RK4-step model (roofline accounting) ------------------
+#
+# THE one FLOP model — bench.py, README footnote 2, and DESIGN.md
+# lesson 12 all quote these constants; change them here only.
 #
 # Static count of f32 VPU ops per *useful* ray-step of the Pallas kernel
 # body (ops/geodesic_pallas.py), counting mul/add/fma-as-2/cmp/select as
 # 1 and sqrt/rsqrt/recip as 1 (v5e transcendental ops issue ~1/cycle/lane
-# like mults). Breakdown (slim kernel, record_hits=True, K=4 slots):
+# like mults). Two totals per kernel, split by counting policy:
 #
-#   adaptive step h (r2, sqrt, far/near, clip)            ~20
-#   4x stage_f (r2, rsqrt, ir2, ir5, f)                    40
-#   RK4 position/direction (4 stages: kp/kd/stage pos)    124
-#   RK4 final combine (6 components x ~7)                  42
-#   termination (nr2, affine, masks)                       14
-#   plane-crossing test + hit interp (f_old/new, t_frac)   20
-#   hit-slot selects (K=4 slots x 5 feats + masks)         28
-#   state-commit selects (pos/dir/affine/flags)            12
-#                                               total    ~300
+#   ISSUE ops  — every vector op the kernel body issues for a useful
+#                step, INCLUDING cmp/select/mask bookkeeping. steps/s x
+#                issue ops vs the VPU issue peak measures how full the
+#                vector pipes run (lane occupancy); it upper-bounds MFU.
+#   ARITH ops  — the mul/add/fma/sqrt subset only (classic MFU
+#                numerator; cmp/select/logical excluded).
+#
+# Breakdown (slim kernel, record_hits=True, K=4 slots): issue / arith
+#
+#   adaptive step h (r2, sqrt, far/near, clip)         ~20 / 16
+#   4x stage_f (r2, rsqrt, ir2, ir5, f)                 40 / 40
+#   RK4 position/direction (4 stages: kp/kd/stage pos) 124 / 124
+#   RK4 final combine (6 components x ~7)               42 / 42
+#   termination (nr2, affine, masks)                    14 /  7
+#   plane-crossing test + hit interp (f_old/new, t)     20 / 16
+#   hit-slot selects (K=4 slots x 5 feats + masks)      28 /  0
+#   state-commit selects (pos/dir/affine/flags)         12 /  0
+#                                            total    ~300 / 245
 #
 # The AA kernel adds two Jacobian-transported differential systems:
-#   2 x 4 stages x (proj + 3 fma jac, qd, qp, stage-in)   ~232
-#   2 x final combines (6 comps x ~7)                       84
-#   extra selects (12 state planes) + 6 hit-lerp planes     30
-#                                          AA adds        ~346
-FLOPS_PER_STEP_SLIM = 300.0
-FLOPS_PER_STEP_AA = 646.0
+#   2 x 4 stages x (proj + 3 fma jac, qd, qp, stage-in) 232 / 232
+#   2 x final combines (6 comps x ~7)                    84 /  84
+#   extra selects (12 state planes) + 6 hit-lerp planes  30 /   0
+#                                         AA adds      ~346 / 316
+OPS_PER_STEP_SLIM = 300.0
+OPS_PER_STEP_AA = 646.0
+ARITH_FLOPS_PER_STEP_SLIM = 245.0
+ARITH_FLOPS_PER_STEP_AA = 561.0
 
 # v5e VPU f32 peak: 8x128-lane vregs x 4 ALUs x ~940 MHz per TensorCore
 # ~= 3.85e12 FLOP/s (the MXU's 197 TFLOP/s bf16 is irrelevant here —
@@ -181,7 +206,7 @@ def time_resolution(resolution: str, batch: int,
 
 def time_trace(aa: bool) -> dict:
     """FHD geodesic-trace throughput: {trace_ms, mray_steps_per_s,
-    steps_per_frame, mean_steps_per_ray, vpu_flops_per_s, vpu_mfu}.
+    steps_per_frame, mean_steps_per_ray, vpu_issue_util, vpu_mfu}.
 
     A "ray-step" is one useful RK4 step of one ray — frozen lanes inside
     the kernel's lock-step tiles are NOT counted, so the number reflects
@@ -189,6 +214,14 @@ def time_trace(aa: bool) -> dict:
     from the kernel itself (record_step_counts=True); timing comes from
     the production kernel (counting off). tools/bench_trace.py is a thin
     shell over this function.
+
+    Utilization accounting (the OPS_PER_STEP model above):
+      vpu_issue_util — useful-step issued vector ops (incl. cmp/select)
+                       vs the VPU issue peak. The gap to 1.0 is issue
+                       slots burned on frozen lanes (tile divergence).
+      vpu_mfu        — classic MFU: arithmetic FLOPs only vs the same
+                       peak. Always below vpu_issue_util; the ratio is
+                       fixed by the kernel's arith/issue op mix.
     """
     import jax
     import jax.numpy as jnp
@@ -235,15 +268,19 @@ def time_trace(aa: bool) -> dict:
     float(run(cp))
     dt = (time.perf_counter() - t0) / batch
 
-    flops_per_step = FLOPS_PER_STEP_AA if aa else FLOPS_PER_STEP_SLIM
-    flops_per_s = total_steps * flops_per_step / dt
+    ops_per_step = OPS_PER_STEP_AA if aa else OPS_PER_STEP_SLIM
+    arith_per_step = (ARITH_FLOPS_PER_STEP_AA if aa
+                      else ARITH_FLOPS_PER_STEP_SLIM)
+    steps_per_s = total_steps / dt
     return {
         "trace_ms": round(dt * 1e3, 2),
-        "mray_steps_per_s": round(total_steps / dt / 1e6, 1),
+        "mray_steps_per_s": round(steps_per_s / 1e6, 1),
         "steps_per_frame": total_steps,
         "mean_steps_per_ray": round(total_steps / (W * H), 1),
-        "vpu_flops_per_s": round(flops_per_s / 1e12, 3),
-        "vpu_mfu": round(flops_per_s / V5E_VPU_F32_PEAK, 3),
+        "vpu_issue_util": round(
+            steps_per_s * ops_per_step / V5E_VPU_F32_PEAK, 3),
+        "vpu_mfu": round(
+            steps_per_s * arith_per_step / V5E_VPU_F32_PEAK, 3),
     }
 
 
@@ -317,13 +354,19 @@ def time_v2(batch: int = 8, skybox_q=None, tex_dtype=None) -> float:
 
 
 def time_video_sd(n_frames: int = 48) -> float:
-    """End-to-end SD orbit-video frames/s: sharded render + PNG frames
-    + inline H.264, through the real render_video_sharded engine into a
-    temp dir. Single pass — on a warm compile cache (every round after
-    the first) this measures the engine; a cold first round folds
-    compile time in and reads low. Includes host fetch, so the number
-    is also environment-dependent (relayed-TPU tunnels cap it) — its
-    job is catching engine regressions round over round, not absolute
+    """End-to-end SD orbit-video frames/s, WARM steady state: sharded
+    render + PNG frames + inline H.264, through the real
+    render_video_sharded engine into a temp dir.
+
+    A short throwaway video runs first: it compiles the identical
+    per-batch program (16 warm-up frames = exactly one adaptive SD
+    dispatch batch, so the shapes match), and the engine's renderer
+    memo hands the timed pass the same traced jit wrapper — the timed
+    pass measures the engine, not compile or re-trace; an unwarmed
+    single pass read 4x low (BENCH_r02) while claiming to measure
+    throughput. Includes host fetch, so the number is still
+    environment-dependent (relayed-TPU tunnels cap it) — its job is
+    catching engine regressions round over round, not absolute
     throughput (see README footnote 1).
     """
     import contextlib
@@ -333,12 +376,12 @@ def time_video_sd(n_frames: int = 48) -> float:
     from bhr_tpu.config import SceneConfig
     from bhr_tpu.parallel.video import render_video_sharded
 
-    with tempfile.TemporaryDirectory() as td:
+    def run(frames: int, td: str) -> float:
         cfg = SceneConfig(
             resolution="sd", pov=(6.0, 0.0, 0.5), fov=90.0,
             step_size=0.1, disk_inner_radius=2.0,
             disk_outer_radius=15.0, disk_tilt=15.0,
-            video=True, orbit=True, n_frames=n_frames, fps=24,
+            video=True, orbit=True, n_frames=frames, fps=24,
             output=os.path.join(td, "bench.mp4"),
         ).validated()
         t0 = time.perf_counter()
@@ -346,7 +389,81 @@ def time_video_sd(n_frames: int = 48) -> float:
         # must stay a single JSON line for the driver.
         with contextlib.redirect_stdout(sys.stderr):
             render_video_sharded(cfg)
-        dt = time.perf_counter() - t0
+        return time.perf_counter() - t0
+
+    with tempfile.TemporaryDirectory() as td:
+        run(16, td)  # compile + warm (one full SD dispatch batch)
+    with tempfile.TemporaryDirectory() as td:
+        dt = run(n_frames, td)
+    return round(n_frames / dt, 2)
+
+
+def time_gather(n_indices: int = 1920 * 1080, reps: int = 8) -> float:
+    """ns/index of the production row gather — the shade-pass floor.
+
+    Reproduces the shade gathers' exact regime: 16-byte uint32 rows
+    (the quad-packed disk layout), random indices, banded via lax.map
+    at _GATHER_CHUNK (ops/sampling.py's measured-fastest band size).
+    DESIGN.md lesson 10's "~6 ns/index, optimize by reducing index
+    count" and lesson 12's shade attribution are claims about THIS
+    number; emitting it every round keeps them falsifiable.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bhr_tpu.ops.sampling import _GATHER_CHUNK, _take_rows
+
+    n_rows = 512 * 2048  # production disk-texture scale
+    tab = jnp.arange(n_rows * 4, dtype=jnp.uint32).reshape(n_rows, 4)
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(
+        rng.integers(0, n_rows, size=n_indices, dtype=np.int32))
+    pad = (-n_indices) % _GATHER_CHUNK
+    bands = jnp.pad(idx, (0, pad)).reshape(-1, _GATHER_CHUNK)
+
+    @jax.jit
+    def run(b):
+        def one(i, acc):
+            # Rotate indices per rep so XLA cannot hoist the gather.
+            bi = (b + i) % n_rows
+            out = jax.lax.map(
+                lambda row_idx: jnp.sum(_take_rows(tab, row_idx),
+                                        dtype=jnp.uint32),
+                bi,
+            )
+            return acc + jnp.sum(out)
+        return jax.lax.fori_loop(0, reps, one, jnp.uint32(0))
+
+    int(run(bands))  # compile + warm
+    t0 = time.perf_counter()
+    int(run(bands))
+    dt = time.perf_counter() - t0
+    return round(dt / (reps * n_indices) * 1e9, 2)
+
+
+def time_interactive(n_frames: int = 40) -> float:
+    """InteractiveSession.step frames/s on this host: SD dynamic-
+    texture session (lifecycle advance + render + host fetch per step),
+    timed after a 4-step warm-up. The render-vs-viewer split the HUD
+    shows comes from the same step accounting; here there is no viewer,
+    so this is the render-side ceiling any display loop sees.
+    """
+    from bhr_tpu.config import SceneConfig
+    from bhr_tpu.interactive import InteractiveSession
+
+    cfg = SceneConfig(
+        resolution="sd", pov=(6.0, 0.0, 0.5), fov=90.0,
+        step_size=0.1, disk_inner_radius=2.0, disk_outer_radius=15.0,
+        disk_tilt=15.0, interactive=True,
+    ).validated()
+    sess = InteractiveSession(cfg)
+    for _ in range(4):  # compile + warm (incl. the stats-recompute path)
+        sess.step(1.0 / 30.0)
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        sess.step(1.0 / 30.0)
+    dt = time.perf_counter() - t0
     return round(n_frames / dt, 2)
 
 
@@ -406,18 +523,24 @@ def main() -> int:
             "fhd", 16, skybox_q, tex_dtype, anti_alias="lod_radius"), 2))
     aux("v2_frame_ms",
         lambda: round(time_v2(8, skybox_q, tex_dtype), 2))
+    aux("gather_ns_per_index", time_gather)
     # Time-budget guard: on a cold compile cache the earlier metrics
-    # already cost many minutes; never let the video pass push the
-    # whole bench past a driver timeout.
+    # already cost many minutes; never let the video/interactive passes
+    # push the whole bench past a driver timeout.
     if time.perf_counter() - t_start < 900:
         aux("sd_video_fps", time_video_sd)
     else:
         result["sd_video_fps"] = "skipped (bench time budget)"
+    if time.perf_counter() - t_start < 1200:
+        aux("interactive_sd_fps", time_interactive)
+    else:
+        result["interactive_sd_fps"] = "skipped (bench time budget)"
 
     def trace_metrics(aa, prefix):
         tr = time_trace(aa)
         result[f"mray_steps_per_s{prefix}"] = tr["mray_steps_per_s"]
         result[f"vpu_mfu{prefix}"] = tr["vpu_mfu"]
+        result[f"vpu_issue_util{prefix}"] = tr["vpu_issue_util"]
         return tr["trace_ms"]
 
     aux("fhd_trace_ms", lambda: trace_metrics(False, ""))

@@ -70,12 +70,13 @@ def main() -> int:
                 lambda img, width_ref: jnp.zeros_like(img))
         elif stage == "nosky":
             pipeline.sample_skybox_quad = (
-                lambda q, d: jnp.ones((d.shape[0], 3), jnp.float32) * 0.1)
+                lambda q, d, **kw:
+                jnp.ones((d.shape[0], 3), jnp.float32) * 0.1)
         elif stage == "nodisk":
             pipeline.sample_disk_quad = (
-                lambda q, x, y, ri, ro, t:
+                lambda q, x, y, ri, ro, t, **kw:
                 jnp.stack([x, y, x, y], -1) * 0.1)
-            fake_mip = (lambda q, n, x, y, ri, ro, t, lod, channels=4:
+            fake_mip = (lambda q, n, x, y, ri, ro, t, lod, channels=4, **kw:
                         jnp.stack([x, y, x, lod], -1) * 0.1)
             pipeline.sample_disk_mip_quad = fake_mip
             pipeline.sample_disk_mip_atlas = fake_mip

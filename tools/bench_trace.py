@@ -8,9 +8,10 @@ BASELINE.json tracks two metrics: 1080p frames/sec/chip (bench.py) and
 geodesic RK4 Mray-steps/s (this tool). A "ray-step" is one useful RK4
 step of one ray — frozen lanes inside the kernel's lock-step tiles are
 NOT counted, so the number reflects delivered physics throughput, not
-lane occupancy. The report includes a roofline row: FLOPs/step from the
-static model in bench.py (FLOPS_PER_STEP_*) against the v5e VPU f32
-peak, i.e. how far the kernel is from speed-of-light.
+lane occupancy. The report includes two roofline rows from bench.py's
+static per-step op model: vpu_issue_util (all issued vector ops incl.
+cmp/select — lane occupancy) and vpu_mfu (arithmetic FLOPs only — the
+classic MFU definition) against the v5e VPU f32 issue peak.
 
 Reference anchor: the reference's historical measurement is ~150
 steps/ray at 640x360 in ~18 s on CPU (docs/design.md:210-216), i.e.
@@ -40,8 +41,12 @@ def main() -> int:
                     + ("_aa" if args.aa else ""))
     tr["value"] = tr["mray_steps_per_s"]
     tr["unit"] = "Mray-steps/s"
-    tr["flops_per_step_model"] = (
-        bench.FLOPS_PER_STEP_AA if args.aa else bench.FLOPS_PER_STEP_SLIM
+    tr["ops_per_step_model"] = (
+        bench.OPS_PER_STEP_AA if args.aa else bench.OPS_PER_STEP_SLIM
+    )
+    tr["arith_flops_per_step_model"] = (
+        bench.ARITH_FLOPS_PER_STEP_AA if args.aa
+        else bench.ARITH_FLOPS_PER_STEP_SLIM
     )
     tr["vpu_f32_peak_tflops"] = bench.V5E_VPU_F32_PEAK / 1e12
     print(json.dumps(tr))
