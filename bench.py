@@ -445,9 +445,11 @@ def time_gather(n_indices: int = 1920 * 1080, reps: int = 8) -> float:
 def time_interactive(n_frames: int = 40) -> float:
     """InteractiveSession.step frames/s on this host: SD dynamic-
     texture session (lifecycle advance + render + host fetch per step),
-    timed after a 4-step warm-up. The render-vs-viewer split the HUD
-    shows comes from the same step accounting; here there is no viewer,
-    so this is the render-side ceiling any display loop sees.
+    timed after a 4-step warm-up. The session double-buffers by default
+    (step N dispatches frame N, fetches frame N-1), so this measures
+    the steady-state overlapped rate — the render-side ceiling any
+    display loop sees. The render-vs-viewer split the HUD shows comes
+    from the same step accounting.
     """
     from bhr_tpu.config import SceneConfig
     from bhr_tpu.interactive import InteractiveSession
@@ -523,10 +525,12 @@ def main() -> int:
             "fhd", 16, skybox_q, tex_dtype, anti_alias="lod_radius"), 2))
     aux("v2_frame_ms",
         lambda: round(time_v2(8, skybox_q, tex_dtype), 2))
-    aux("gather_ns_per_index", time_gather)
     # Time-budget guard: on a cold compile cache the earlier metrics
     # already cost many minutes; never let the video/interactive passes
-    # push the whole bench past a driver timeout.
+    # push the whole bench past a driver timeout. Ordered by how much
+    # the README leans on each number (the video row burned a round on
+    # an inconsistent reading; it must not get budget-skipped behind
+    # cheaper metrics).
     if time.perf_counter() - t_start < 900:
         aux("sd_video_fps", time_video_sd)
     else:
@@ -535,6 +539,7 @@ def main() -> int:
         aux("interactive_sd_fps", time_interactive)
     else:
         result["interactive_sd_fps"] = "skipped (bench time budget)"
+    aux("gather_ns_per_index", time_gather)
 
     def trace_metrics(aa, prefix):
         tr = time_trace(aa)

@@ -108,6 +108,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame_shards", type=int, default=0,
                    help="video frame shards across devices "
                         "(0 = all devices, 1 = sequential)")
+    p.add_argument("--frames_per_dispatch", type=int, default=0,
+                   help="video frames per device per dispatch "
+                        "(0 = adaptive; bigger batches amortize the "
+                        "per-dispatch round trip, smaller ones cut "
+                        "memory and resume-loss granularity)")
     p.add_argument("--tile_shards", type=int, default=0,
                    help="single-frame mode: split pixel rows of the "
                         "frame across this many devices (0/1 = off); "
@@ -203,6 +208,7 @@ def config_from_args(args: argparse.Namespace) -> SceneConfig:
         aa_strength=args.aa_strength,
         device=args.device,
         frame_shards=args.frame_shards,
+        frames_per_dispatch=args.frames_per_dispatch,
         tile_shards=args.tile_shards,
         video=args.video,
         interactive=args.interactive,

@@ -106,6 +106,15 @@ class SceneConfig:
     # this many devices ("tile" mesh axis; 0/1 = off). For large stills
     # (4K/8K) on a pod slice; video shards whole frames instead.
     tile_shards: int = 0
+    # Video frames rendered per device per dispatch (0 = adaptive:
+    # batch small frames until a dispatch carries ~4 FHD frames of
+    # pixels, capped at 16). Each dispatch pays a fixed host round
+    # trip, so bigger batches amortize it; smaller batches reduce
+    # per-batch memory and resume-loss granularity. Like the engine
+    # choice, this does not invalidate resume: frame content is
+    # scene-identical across batch sizes (bitwise only for identical
+    # per-device shapes).
+    frames_per_dispatch: int = 0
 
     # Deprecated (accepted, ignored — reference render.py:4540-4582)
     disk_generation_scale: int = 2
@@ -196,6 +205,10 @@ class SceneConfig:
         if self.tile_shards < 0:
             raise ValueError(
                 f"tile_shards must be >= 0, got {self.tile_shards}")
+        if self.frames_per_dispatch < 0:
+            raise ValueError(
+                f"frames_per_dispatch must be >= 0 (0 = adaptive), "
+                f"got {self.frames_per_dispatch}")
         if self.tile_shards > 1:
             if self.video or self.interactive:
                 raise ValueError(

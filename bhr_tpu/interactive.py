@@ -164,12 +164,22 @@ class InteractiveSession:
     render-vs-viewer timing split the HUD reports. The reference's
     equivalent is the ti.GUI body (render.py:4227-4348)."""
 
-    def __init__(self, config: SceneConfig, renderer=None, dynamic=None):
+    def __init__(self, config: SceneConfig, renderer=None, dynamic=None,
+                 lookahead: bool = True):
         if renderer is None:
             renderer, dynamic = _build(config)
         self.config = config
         self.renderer = renderer
         self.dynamic = dynamic
+        # Double-buffered display: step N dispatches frame N (async)
+        # and fetches frame N-1, so the device renders while the host
+        # drains the previous frame's transfer and the viewer draws.
+        # Costs one frame of display latency (the classic swap-chain
+        # trade); through a relayed TPU the fetch is comparable to the
+        # render, so the overlap nearly doubles throughput. Disabled
+        # when the renderer has no device-resident path.
+        self.lookahead = lookahead and hasattr(renderer, "render_device")
+        self._pending = None
         cam = np.asarray(config.pov, dtype=np.float64)
         self.r = float(np.linalg.norm(cam))
         self.theta = float(np.arccos(np.clip(cam[2] / self.r, -1, 1)))
@@ -259,13 +269,29 @@ class InteractiveSession:
             render_frame = self.wall_time / max(
                 self.config.disk_rotation_speed, 1e-9
             )
-        img = self.renderer.render(
-            self.cam_pos(), self.fov, frame=render_frame,
+        render_kwargs = dict(
+            frame=render_frame,
             skip_differentials=not self.diff,
             force_differentials=self.diff,
             skip_bloom=not self.bloom,
             lens_flare=self.flare,
         )
+        if self.lookahead:
+            # Dispatch this step's frame, display the previous one.
+            # last_render_ms then measures dispatch(N) + fetch(N-1) —
+            # exactly the steady-state per-frame wall cost.
+            dev = self.renderer.render_device(
+                self.cam_pos(), self.fov, **render_kwargs
+            )
+            prev, self._pending = self._pending, dev
+            import jax
+
+            img = np.asarray(jax.device_get(
+                dev if prev is None else prev))
+        else:
+            img = self.renderer.render(
+                self.cam_pos(), self.fov, **render_kwargs
+            )
         self.last_render_ms = (time.perf_counter() - t0) * 1e3
         self.render_s += self.last_render_ms / 1e3
         self.fps = 0.9 * self.fps + 0.1 * (1.0 / max(real_dt, 1e-3))

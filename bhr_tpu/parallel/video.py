@@ -98,12 +98,6 @@ def pack_frame_params(
 _RENDERER_MEMO: dict = {}
 _RENDERER_MEMO_MAX = 16
 
-# Test/debug override for the adaptive frames-per-device dispatch
-# sizing in render_video_sharded (None = adaptive). Batch-count-
-# sensitive tests (failure injection on batch N, resume after one
-# batch) pin this so tiny scenes still produce multiple batches.
-FRAMES_PER_DISPATCH: Optional[int] = None
-
 
 def build_sharded_video_renderer(
     mesh: Mesh,
@@ -430,8 +424,10 @@ def render_video_sharded(config: SceneConfig) -> None:
     # before), and bounded by the video length so short videos and
     # tiny test scenes don't compile mostly-padding programs. Derived
     # from config only — multi-host processes must agree on the batch.
-    if FRAMES_PER_DISPATCH is not None:
-        frames_per_device = int(FRAMES_PER_DISPATCH)
+    # --frames_per_dispatch pins it (batch-count-sensitive tests, memory
+    # tuning); 0 = adaptive.
+    if config.frames_per_dispatch:
+        frames_per_device = int(config.frames_per_dispatch)
     else:
         frames_per_device = min(
             16, max(2 if n_shards > 1 else 4,

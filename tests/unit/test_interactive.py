@@ -512,3 +512,40 @@ def test_mjpeg_stream_open_before_first_frame_and_plus_key():
         assert replayed == ["+", "+", "q"]
     finally:
         server.stop()
+
+
+class _FakeDeviceRenderer(_FakeRenderer):
+    """Fake with a device-resident path, to drive the lookahead swap."""
+
+    def render_device(self, cam_pos, fov, frame=0, skip_differentials=False,
+                      force_differentials=False, skip_bloom=False,
+                      lens_flare=False):
+        self.render(cam_pos, fov, frame, skip_differentials,
+                    force_differentials, skip_bloom, lens_flare)
+        return np.full((4, 4, 3), float(len(self.calls) - 1), np.float32)
+
+
+def test_interactive_lookahead_double_buffers(tiny_cfg):
+    """With lookahead (the default when the renderer has a device path),
+    step N dispatches frame N and displays frame N-1: the returned
+    sequence is f0, f0, f1, f2 ... — one frame of latency, render and
+    fetch overlapped."""
+    from bhr_tpu.interactive import InteractiveSession
+
+    sess = InteractiveSession(
+        tiny_cfg, renderer=_FakeDeviceRenderer(), dynamic=_FakeDynamic())
+    assert sess.lookahead
+    shown = [float(sess.step(0.05)[0, 0, 0]) for _ in range(4)]
+    assert shown == [0.0, 0.0, 1.0, 2.0]
+
+
+def test_interactive_lookahead_off_without_device_path(tiny_cfg):
+    """A renderer without render_device falls back to the synchronous
+    path even when lookahead is requested."""
+    from bhr_tpu.interactive import InteractiveSession
+
+    sess = InteractiveSession(
+        tiny_cfg, renderer=_FakeRenderer(), dynamic=_FakeDynamic(),
+        lookahead=True)
+    assert not sess.lookahead
+    assert sess.step(0.05).shape == (4, 4, 3)

@@ -42,16 +42,15 @@ assert n == 2, n
 assert jax.device_count() == 4, jax.device_count()
 assert jax.process_index() == pid
 from bhr_tpu.config import SceneConfig
-import bhr_tpu.parallel.video as V
 from bhr_tpu.parallel.video import render_video_sharded
 # Pin dispatch sizing: this test's padding-skip coverage needs the
 # 9-frames-over-batch-of-8 layout, not the adaptive (single-batch)
 # sizing a 32x16 scene would get.
-V.FRAMES_PER_DISPATCH = 2
 cfg = SceneConfig(
     width=32, height=16, fov=60.0, step_size=0.2,
     disk_inner_radius=2.0, disk_outer_radius=3.5, disk_tilt=15.0,
     orbit=True, video=True, n_frames={n_frames}, fps=4, n_stars=64,
+    frames_per_dispatch=2,
     output=os.path.join(outdir, "mh.mp4"),
 ).validated()
 render_video_sharded(cfg)
@@ -148,7 +147,7 @@ def test_all_frames_written_and_video_assembled(multihost_run):
     assert sorted(progress["completed"]) == list(range(N_FRAMES))
 
 
-def test_frames_match_single_process(multihost_run, monkeypatch):
+def test_frames_match_single_process(multihost_run):
     """Bitwise frame identity: the multi-controller render is the same
     jitted program, so CPU frames must match a single-process render.
 
@@ -161,10 +160,8 @@ def test_frames_match_single_process(multihost_run, monkeypatch):
     from PIL import Image
 
     from bhr_tpu.config import SceneConfig
-    import bhr_tpu.parallel.video as V
     from bhr_tpu.parallel.video import render_video_sharded
 
-    monkeypatch.setattr(V, "FRAMES_PER_DISPATCH", 2)
     outdir, _, _ = multihost_run
     sp_out = outdir / "sp"
     sp_out.mkdir()
@@ -172,6 +169,7 @@ def test_frames_match_single_process(multihost_run, monkeypatch):
         width=32, height=16, fov=60.0, step_size=0.2,
         disk_inner_radius=2.0, disk_outer_radius=3.5, disk_tilt=15.0,
         orbit=True, video=True, n_frames=N_FRAMES, fps=4, n_stars=64,
+        frames_per_dispatch=2,
         output=str(sp_out / "sp.mp4"),
     ).validated()
     render_video_sharded(cfg)
@@ -242,9 +240,6 @@ from bhr_tpu.parallel.mesh import initialize_multihost
 initialize_multihost("127.0.0.1:" + port, 2, pid,
                      heartbeat_timeout_seconds=10)
 import bhr_tpu.parallel.video as V
-# Pin dispatch sizing so the injected failure lands on a SECOND batch
-# (adaptive sizing would fit this tiny scene in one batch).
-V.FRAMES_PER_DISPATCH = 2
 real = V.render_video_frames_sharded
 calls = [0]
 def inject(*a, **kw):
@@ -259,6 +254,7 @@ cfg = SceneConfig(
     width=32, height=16, fov=60.0, step_size=0.2,
     disk_inner_radius=2.0, disk_outer_radius=3.5, disk_tilt=15.0,
     orbit=True, video=True, n_frames=16, fps=4, n_stars=64,
+    frames_per_dispatch=2,  # failure must land on a SECOND batch
     output=os.path.join(outdir, "fail.mp4"),
 ).validated()
 V.render_video_sharded(cfg)
