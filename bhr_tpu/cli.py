@@ -270,7 +270,7 @@ def main(argv=None) -> int:
                 parser.error(
                     "multi-host runs support only sharded orbit video: "
                     "--video without --interactive/--disk_texture, "
-                    "--disk_model texture, and --frame_shards 0 (all "
+                    "and --frame_shards 0 (all "
                     f"devices) or {len(jax.devices())}"
                 )
     if args.debug_nans:

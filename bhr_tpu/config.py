@@ -205,6 +205,18 @@ class SceneConfig:
         if self.tile_shards < 0:
             raise ValueError(
                 f"tile_shards must be >= 0, got {self.tile_shards}")
+        if self.frame_shards < 0:
+            raise ValueError(
+                f"frame_shards must be >= 0, got {self.frame_shards}")
+        if self.frame_shards > 1 and not self.video:
+            # Fail loud, never silently ignore an explicit shard
+            # request (PARITY.md deviation 10): frame sharding is a
+            # video-engine concept; a still frame shards pixel rows
+            # instead.
+            raise ValueError(
+                "frame_shards applies to --video only; for single-frame "
+                "spatial sharding use --tile_shards"
+            )
         if self.frames_per_dispatch < 0:
             raise ValueError(
                 f"frames_per_dispatch must be >= 0 (0 = adaptive), "

@@ -273,9 +273,15 @@ def sharded_video_eligible(config: SceneConfig) -> bool:
     """
     import jax
 
+    # Both disk models are first-class here: V1 inlines the dynamic
+    # texture pipeline per frame, V2 is trace + shade_frame_v2 (a pure
+    # function of camera and t). disk_texture is rejected with --video
+    # by config validation, so in practice the predicate reduces to the
+    # shard-count/device clause — frame_shards=1 is the explicit opt-out
+    # into the sequential per-frame loop.
     return (
         config.disk_texture is None
-        and config.disk_model == "texture"
+        and config.disk_model in ("texture", "v2")
         and (config.frame_shards > 1
              or (config.frame_shards == 0
                  and (len(jax.devices()) > 1
@@ -298,8 +304,9 @@ def render_video(config: SceneConfig,
     # (zero-communication data parallelism; see parallel/video.py). On a
     # single TPU chip it degrades to a batched sequential renderer that
     # still amortizes dispatch over whole frame batches — strictly
-    # faster than the per-frame Renderer loop below, which remains for
-    # CPU tests, external disk textures, and the V2 model.
+    # faster than the per-frame Renderer loop below, which remains as
+    # the explicit opt-out (--frame_shards 1) and for single-device CPU
+    # test hosts. Both disk models route here.
     if renderer is None and sharded_video_eligible(config):
         from .parallel.video import render_video_sharded
 

@@ -96,6 +96,15 @@ def build_sharded_frame_renderer(
         raise ValueError(f"height {height} not divisible by tile axis {n_tile}")
     rows_local = height // n_tile
     cfg = config
+    is_v2 = cfg.disk_model == "v2"
+    if is_v2:
+        # V2 shades by volume integration (pipeline.shade_frame_v2):
+        # the disk_mips input is an ignored placeholder, and the hit
+        # records drive the slab integrator instead of texture gathers.
+        from ..pipeline import shade_frame_v2
+
+        v2_params = cfg.v2_params()
+        v2_structure = cfg.v2_structure_params()
 
     def render_block(skybox, disk_mips, cam_pack, t_offsets):
         # Shapes inside shard_map: cam_pack (frames_per_device, 14),
@@ -132,6 +141,24 @@ def build_sharded_frame_renderer(
                 trace = geodesic.trace_geodesics(
                     pos, dirs, d_dir_dx0=ddx, d_dir_dy0=ddy, **trace_kwargs,
                 )
+            if is_v2:
+                bg, disk_rgb, _ = shade_frame_v2(
+                    trace, skybox, pos,
+                    v2_params=v2_params, v2_structure=v2_structure,
+                    tilt_deg=float(cfg.disk_tilt),
+                    t_offset=t_off,
+                    palette=cfg.v2_palette,
+                    n_samples=int(cfg.v2_samples),
+                    seed=int(cfg.seed),
+                    image_shape=(rows_local, width),
+                )
+                if return_layers:
+                    return jnp.stack(
+                        [bg.reshape(rows_local, width, 3),
+                         disk_rgb.reshape(rows_local, width, 3)], axis=0
+                    )
+                img = jnp.clip(bg + disk_rgb, 0.0, 1.0)
+                return img.reshape(rows_local, width, 3)
             if has_disk and disk_mips.ndim == 3:
                 # Quad mip atlas (H, 2W, C): the level count travels
                 # with the atlas (the builder returned it) — a
@@ -232,10 +259,6 @@ def render_image_tiled(config: SceneConfig) -> np.ndarray:
     )
     from .mesh import make_frame_mesh
 
-    if config.disk_model == "v2":
-        raise ValueError(
-            "tile_shards currently supports the texture disk model only"
-        )
     n_tile = int(config.tile_shards)
     devices = jax.devices()
     if len(devices) < n_tile:
@@ -252,22 +275,27 @@ def render_image_tiled(config: SceneConfig) -> np.ndarray:
         lambda t: quantize_packed(pack_quad(t), tex_dtype)
     )(jnp.asarray(skybox, jnp.float32))
     use_diff = config.use_ray_differentials
-    tex = jnp.asarray(disk_tex, jnp.float32)
     atlas_num_levels = None
-    if use_diff:
-        h, w = int(tex.shape[0]), int(tex.shape[1])
-        if h % 16 == 0 and w % 16 == 0:
-            from ..ops.sampling import build_mip_atlas_quad
-
-            qmips, atlas_num_levels = build_mip_atlas_quad(
-                tex, 4, tex_dtype
-            )
-        else:
-            qmips = quantize_packed(
-                pack_quad_mips(build_mipmaps(tex, levels=4)), tex_dtype
-            )
+    if disk_tex is None:
+        # V2 volume model: no texture pipeline; the renderer ignores
+        # the placeholder mips (is_v2 branch in render_block).
+        qmips = jnp.zeros((1, 1, 2, 4), jnp.float32)
     else:
-        qmips = quantize_packed(pack_quad(tex), tex_dtype)[None]
+        tex = jnp.asarray(disk_tex, jnp.float32)
+        if use_diff:
+            h, w = int(tex.shape[0]), int(tex.shape[1])
+            if h % 16 == 0 and w % 16 == 0:
+                from ..ops.sampling import build_mip_atlas_quad
+
+                qmips, atlas_num_levels = build_mip_atlas_quad(
+                    tex, 4, tex_dtype
+                )
+            else:
+                qmips = quantize_packed(
+                    pack_quad_mips(build_mipmaps(tex, levels=4)), tex_dtype
+                )
+        else:
+            qmips = quantize_packed(pack_quad(tex), tex_dtype)[None]
 
     mesh = make_frame_mesh(1, n_tile, devices=devices[:n_tile])
     use_pallas = jax.default_backend() == "tpu"

@@ -91,10 +91,21 @@ def pack_frame_params(
 # traced program. A fresh jax.jit wrapper re-traces the full pipeline
 # (seconds) even when XLA's compilation cache supplies the binary —
 # and video rendering rebuilds renderers across calls all the time
-# (bench warm-up then timed pass, resume restarts in one process,
-# verify tooling). Keyed explicitly so two configs that trace the same
-# program share one wrapper; bounded because keys are tiny and real
-# processes build a handful of distinct renderers at most.
+# (bench warm-up then timed pass, resume restarts in one process, the
+# fused interactive session, verify tooling). Keyed explicitly so two
+# configs that trace the same program share one wrapper; LRU-bounded
+# (hits refresh recency) because keys are tiny and real processes
+# build a handful of distinct renderers at most.
+#
+# INVARIANT: memo_key must enumerate EVERY cfg field (and builder
+# argument) that render_block's trace reads — a field read inside the
+# closure but missing from the key would silently return a renderer
+# compiled for a different scene. Current closure reads: image_size,
+# step_size, disk_tilt, disk_inner/outer_radius,
+# use_ray_differentials, aa_strength, lens_flare, disk_model (+ the
+# full V2 surface via v2_params()/v2_structure_params()/v2_palette/
+# v2_samples/seed when disk_model == "v2"). Extend the key in the SAME
+# change that adds any new cfg read.
 _RENDERER_MEMO: dict = {}
 _RENDERER_MEMO_MAX = 16
 
@@ -112,6 +123,7 @@ def build_sharded_video_renderer(
     mip_levels: int = 4,
     tex_dtype=None,
     generation_scale: Optional[int] = None,
+    use_bloom: bool = True,
 ):
     """Compile the sharded per-frame dynamic renderer.
 
@@ -119,10 +131,21 @@ def build_sharded_video_renderer(
     -> (F, H, W, 3) final frames, frames sharded over the mesh's
     "frames" axis (the "tile" axis must be 1 for video — pixel-split
     makes sense for single huge frames, not throughput rendering).
+
+    Serves BOTH disk models: V1 ("texture") inlines the full dynamic
+    texture pipeline per frame; V2 ("v2") replaces it with the volume
+    integrator (trace + shade_frame_v2 is already a pure function of
+    (camera, t), reference video semantics render.py:4437-4476) — the
+    entity-param inputs are accepted for signature uniformity and
+    ignored (pass (F, 1, 8) zeros). ``use_bloom`` exists for the fused
+    interactive session's 'b' toggle; video always renders with bloom.
     """
     width, height = config.image_size
     cfg = config
-    if generation_scale is None:
+    is_v2 = cfg.disk_model == "v2"
+    if is_v2:
+        generation_scale = 1  # no texture pipeline, nothing to scale
+    elif generation_scale is None:
         from ..models.dynamic_disk import adaptive_generation_scale
 
         generation_scale = adaptive_generation_scale(n_r, n_phi)
@@ -132,6 +155,13 @@ def build_sharded_video_renderer(
         use_pallas = jax.default_backend() == "tpu"
     if tex_dtype is None:
         tex_dtype = production_tex_dtype()
+    # V2 statics: frozen param dataclasses are hashable, so they key
+    # the memo directly (every field changes the traced constants).
+    model_key = (
+        ("v2", cfg.v2_params(), cfg.v2_structure_params(),
+         cfg.v2_palette, int(cfg.v2_samples), int(cfg.seed))
+        if is_v2 else ("texture",)
+    )
     memo_key = (
         mesh, width, height, n_r, n_phi,
         float(r_escape), float(az_freq), float(az_shear),
@@ -140,10 +170,14 @@ def build_sharded_video_renderer(
         float(cfg.step_size), float(cfg.disk_tilt),
         float(cfg.disk_inner_radius), float(cfg.disk_outer_radius),
         bool(cfg.use_ray_differentials), float(cfg.aa_strength),
-        bool(cfg.lens_flare),
+        bool(cfg.lens_flare), bool(use_bloom), model_key,
     )
     hit = _RENDERER_MEMO.get(memo_key)
     if hit is not None:
+        # LRU, not FIFO: refresh recency so a hot renderer can't be
+        # evicted while stale ones survive.
+        _RENDERER_MEMO.pop(memo_key)
+        _RENDERER_MEMO[memo_key] = hit
         return hit
     # Ray-differential AA in video mode, matching the reference's
     # render() honoring anti_alias (render.py:3874). When disabled,
@@ -151,21 +185,85 @@ def build_sharded_video_renderer(
     # quad-pack entirely (~20 ms/frame at FHD texture sizes).
     use_diff = cfg.use_ray_differentials
 
-    # The shared radial/omega helper guarantees entity phases are
-    # bit-identical across the sequential and sharded engines.
-    from ..models.lifecycle import radial_omega_rows
+    if not is_v2:
+        # The shared radial/omega helper guarantees entity phases are
+        # bit-identical across the sequential and sharded engines.
+        from ..models.lifecycle import radial_omega_rows
 
-    _, omega_np = radial_omega_rows(
-        n_r, float(cfg.disk_inner_radius), float(cfg.disk_outer_radius)
-    )
-    omega_rows = jnp.asarray(omega_np)
-    from ..utils.io import compute_edge_alpha
+        _, omega_np = radial_omega_rows(
+            n_r, float(cfg.disk_inner_radius), float(cfg.disk_outer_radius)
+        )
+        omega_rows = jnp.asarray(omega_np)
+        from ..utils.io import compute_edge_alpha
 
-    edge = jnp.asarray(compute_edge_alpha(n_r))
+        edge = jnp.asarray(compute_edge_alpha(n_r))
+    else:
+        from ..pipeline import shade_frame_v2
+
+        v2_params = cfg.v2_params()
+        v2_structure = cfg.v2_structure_params()
 
     from ..constants import DISK_COLOR_TEMPERATURE
 
+    def trace_frame(cam):
+        """One frame's geodesic trace — shared by both disk models."""
+        pos = cam[0:3]
+        trace_kwargs = dict(
+            h_base=float(cfg.step_size),
+            r_escape=float(r_escape),
+            tilt_deg=float(cfg.disk_tilt),
+            r_inner=float(cfg.disk_inner_radius),
+            r_outer=float(cfg.disk_outer_radius),
+            with_differentials=use_diff,
+            max_crossings=MAX_DISK_CROSSINGS,
+            record_hits=True,
+        )
+        if use_pallas:
+            from ..ops.geodesic_pallas import trace_geodesics_pallas
+
+            return trace_geodesics_pallas(
+                cam, width=width, height=height, **trace_kwargs
+            )
+        dirs, ddx, ddy = geodesic.primary_rays_from_arrays(
+            pos, cam[3:6], cam[6:9], cam[9:12], cam[12], cam[13],
+            width, height,
+        )
+        return geodesic.trace_geodesics(
+            pos, dirs, d_dir_dx0=ddx, d_dir_dy0=ddy, **trace_kwargs
+        )
+
+    def finish_frame(bg_rgb, disk_rgb):
+        """Lens stack + uint8 quantize — shared by both disk models."""
+        shape = (height, width, 3)
+        bg_img = bg_rgb.reshape(shape)
+        disk_img = disk_rgb.reshape(shape)
+        if use_bloom:
+            blur = apply_bloom(disk_img, width_ref=width)
+            final = jnp.clip(bg_img + disk_img + blur, 0.0, 1.0)
+        else:
+            final = jnp.clip(bg_img + disk_img, 0.0, 1.0)
+        if cfg.lens_flare:
+            final = apply_lens_flare(final, disk_img)
+        # uint8 on device: quarters the host-fetch bytes (PNG
+        # encoding wants uint8 anyway).
+        return jnp.round(final * 255.0).astype(jnp.uint8)
+
     def render_block(skybox_q, cam_pack, t_arr, fil, hs, rt):
+        def one_frame_v2(args):
+            cam, t, _fil_p, _hs_p, _rt_p = args
+            trace = trace_frame(cam)
+            bg_rgb, disk_rgb, _ = shade_frame_v2(
+                trace, skybox_q, cam[0:3],
+                v2_params=v2_params, v2_structure=v2_structure,
+                tilt_deg=float(cfg.disk_tilt),
+                t_offset=t,
+                palette=cfg.v2_palette,
+                n_samples=int(cfg.v2_samples),
+                seed=int(cfg.seed),
+                image_shape=(height, width),
+            )
+            return finish_frame(bg_rgb, disk_rgb)
+
         def one_frame(args):
             cam, t, fil_p, hs_p, rt_p = args
             # --- dynamic texture --------------------------------------
@@ -205,36 +303,10 @@ def build_sharded_video_renderer(
                 num_levels = 1
                 qmips = quantize_packed(pack_quad(tex), tex_dtype)[None]
 
-            # --- trace ------------------------------------------------
-            pos = cam[0:3]
-            trace_kwargs = dict(
-                h_base=float(cfg.step_size),
-                r_escape=float(r_escape),
-                tilt_deg=float(cfg.disk_tilt),
-                r_inner=float(cfg.disk_inner_radius),
-                r_outer=float(cfg.disk_outer_radius),
-                with_differentials=use_diff,
-                max_crossings=MAX_DISK_CROSSINGS,
-                record_hits=True,
-            )
-            if use_pallas:
-                from ..ops.geodesic_pallas import trace_geodesics_pallas
-
-                trace = trace_geodesics_pallas(
-                    cam, width=width, height=height, **trace_kwargs
-                )
-            else:
-                dirs, ddx, ddy = geodesic.primary_rays_from_arrays(
-                    pos, cam[3:6], cam[6:9], cam[9:12], cam[12], cam[13],
-                    width, height,
-                )
-                trace = geodesic.trace_geodesics(
-                    pos, dirs, d_dir_dx0=ddx, d_dir_dy0=ddy, **trace_kwargs
-                )
-
-            # --- shade + lens stack -----------------------------------
+            # --- trace + shade + lens stack ---------------------------
+            trace = trace_frame(cam)
             bg_rgb, disk_rgb, _ = shade_frame(
-                trace, skybox_q, qmips, num_levels, pos,
+                trace, skybox_q, qmips, num_levels, cam[0:3],
                 r_inner=float(cfg.disk_inner_radius),
                 r_outer=float(cfg.disk_outer_radius),
                 tilt_deg=float(cfg.disk_tilt),
@@ -243,18 +315,10 @@ def build_sharded_video_renderer(
                 aa_strength=float(cfg.aa_strength),
                 image_shape=(height, width),
             )
-            shape = (height, width, 3)
-            bg_img = bg_rgb.reshape(shape)
-            disk_img = disk_rgb.reshape(shape)
-            blur = apply_bloom(disk_img, width_ref=width)
-            final = jnp.clip(bg_img + disk_img + blur, 0.0, 1.0)
-            if cfg.lens_flare:
-                final = apply_lens_flare(final, disk_img)
-            # uint8 on device: quarters the host-fetch bytes (PNG
-            # encoding wants uint8 anyway).
-            return jnp.round(final * 255.0).astype(jnp.uint8)
+            return finish_frame(bg_rgb, disk_rgb)
 
-        return jax.lax.map(one_frame, (cam_pack, t_arr, fil, hs, rt))
+        return jax.lax.map(one_frame_v2 if is_v2 else one_frame,
+                           (cam_pack, t_arr, fil, hs, rt))
 
     sharded = shard_map(
         render_block,
@@ -342,12 +406,21 @@ def render_video_frames_sharded(
     idx = np.asarray(frame_indices)
     if renderer_fn is None:
         r_escape = scene_escape_radius(config)
-        renderer_fn = build_sharded_video_renderer(
-            mesh, config, dynamic.n_r, dynamic.n_phi,
-            r_escape=r_escape, az_freq=dynamic.az_freq,
-            az_shear=dynamic.az_shear,
-            tex_dtype=production_tex_dtype(),
-        )
+        if config.disk_model == "v2":
+            # V2 has no texture pipeline: dynamic may be None and the
+            # entity-param arrays are (F, 1, 8) zeros placeholders.
+            renderer_fn = build_sharded_video_renderer(
+                mesh, config, 0, 0, r_escape=r_escape,
+                az_freq=0.0, az_shear=0.0,
+                tex_dtype=production_tex_dtype(),
+            )
+        else:
+            renderer_fn = build_sharded_video_renderer(
+                mesh, config, dynamic.n_r, dynamic.n_phi,
+                r_escape=r_escape, az_freq=dynamic.az_freq,
+                az_shear=dynamic.az_shear,
+                tex_dtype=production_tex_dtype(),
+            )
     batch_args = (cam_np, t_np, all_fil[idx], all_hs[idx], all_rt[idx])
     if jax.process_count() > 1:
         batch_args = tuple(
@@ -407,6 +480,11 @@ def render_video_sharded(config: SceneConfig) -> None:
     width, height = config.image_size
     devices = jax.devices()
     n_shards = config.frame_shards or len(devices)
+    if n_shards > len(devices):
+        # Clamp, but never silently: an explicit shard count above the
+        # visible device count usually means a mis-set fleet.
+        print(f"warning: --frame_shards {n_shards} exceeds the "
+              f"{len(devices)} visible devices; using {len(devices)}")
     n_shards = min(n_shards, len(devices))
     if n_proc > 1 and n_shards != len(devices):
         # Every process must participate in the jitted program; a mesh
@@ -479,27 +557,43 @@ def render_video_sharded(config: SceneConfig) -> None:
             mesh, P(), np.asarray(jax.device_get(skybox_q))
         )
 
-    n_phi, n_r = compute_disk_texture_resolution(
-        width, height, config.pov, config.fov,
-        config.disk_inner_radius, config.disk_outer_radius,
-    )
-    dynamic = DynamicDiskSystem(
-        n_r, n_phi, config.disk_inner_radius, config.disk_outer_radius,
-        seed=config.seed,
-    )
-    say(f"Packing lifecycle params for {config.n_frames} frames...")
-    t0 = time.time()
-    all_fil, all_hs, all_rt = pack_frame_params(
-        dynamic, config.n_frames, config.disk_rotation_speed
-    )
-    say(f"  packed in {time.time() - t0:.1f}s")
-
     r_escape = scene_escape_radius(config)
-    renderer_fn = build_sharded_video_renderer(
-        mesh, config, n_r, n_phi,
-        r_escape=r_escape, az_freq=dynamic.az_freq, az_shear=dynamic.az_shear,
-        tex_dtype=tex_dtype,
-    )
+    if config.disk_model == "v2":
+        # V2 renders by volume integration — no lifecycle system, no
+        # per-frame texture pipeline; every frame is a pure function of
+        # (camera, t). Zero-size entity placeholders keep the engine
+        # single-path.
+        dynamic = None
+        all_fil = np.zeros((config.n_frames, 1, 8), np.float32)
+        all_hs = np.zeros((config.n_frames, 1, 8), np.float32)
+        all_rt = np.zeros((config.n_frames, 1, 8), np.float32)
+        renderer_fn = build_sharded_video_renderer(
+            mesh, config, 0, 0,
+            r_escape=r_escape, az_freq=0.0, az_shear=0.0,
+            tex_dtype=tex_dtype,
+        )
+    else:
+        n_phi, n_r = compute_disk_texture_resolution(
+            width, height, config.pov, config.fov,
+            config.disk_inner_radius, config.disk_outer_radius,
+        )
+        dynamic = DynamicDiskSystem(
+            n_r, n_phi, config.disk_inner_radius, config.disk_outer_radius,
+            seed=config.seed,
+        )
+        say(f"Packing lifecycle params for {config.n_frames} frames...")
+        t0 = time.time()
+        all_fil, all_hs, all_rt = pack_frame_params(
+            dynamic, config.n_frames, config.disk_rotation_speed
+        )
+        say(f"  packed in {time.time() - t0:.1f}s")
+
+        renderer_fn = build_sharded_video_renderer(
+            mesh, config, n_r, n_phi,
+            r_escape=r_escape, az_freq=dynamic.az_freq,
+            az_shear=dynamic.az_shear,
+            tex_dtype=tex_dtype,
+        )
 
     import contextlib
 

@@ -172,3 +172,37 @@ def test_v2_cli_flags_reach_config():
     assert cfg.v2_shear_strength == 0.1
     assert cfg.v2_hotspot_count == 5
     assert cfg.v2_params().h0 == 0.08
+
+
+def test_frame_shards_fail_loud():
+    """An explicitly requested shard count the engine would ignore is
+    an error, never a silent no-op (PARITY.md deviation 10)."""
+    import pytest
+
+    from bhr_tpu.config import SceneConfig
+
+    with pytest.raises(ValueError, match="frame_shards"):
+        SceneConfig(frame_shards=8).validated()  # no --video
+    with pytest.raises(ValueError, match="frame_shards"):
+        SceneConfig(video=True, frame_shards=-1).validated()
+    # Valid: sharded video, sequential opt-out, default.
+    SceneConfig(video=True, frame_shards=8).validated()
+    SceneConfig(video=True, frame_shards=1).validated()
+    SceneConfig().validated()
+
+
+def test_frame_shards_above_device_count_warns(tmp_path, capsys):
+    """Clamping an oversized --frame_shards must say so."""
+    from bhr_tpu.config import SceneConfig
+    from bhr_tpu.parallel.video import render_video_sharded
+
+    cfg = SceneConfig(
+        width=32, height=16, fov=60.0, step_size=0.3, n_stars=50,
+        disk_inner_radius=2.0, disk_outer_radius=3.5,
+        video=True, orbit=True, n_frames=2, fps=2, frame_shards=4096,
+        frames_per_dispatch=1,
+        output=str(tmp_path / "warn.mp4"),
+    ).validated()
+    render_video_sharded(cfg)
+    out = capsys.readouterr().out
+    assert "exceeds" in out and "4096" in out
