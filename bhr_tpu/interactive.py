@@ -155,6 +155,87 @@ def _open_window(config: SceneConfig):
     return plt, fig, ax
 
 
+class _FusedEngine:
+    """One-dispatch-per-frame renderer for the interactive session.
+
+    InteractiveSession formerly ran ~5 separately jitted programs per
+    frame (dynamic texture, mip/quant, staged trace/shade/post) — ~5
+    dispatch round trips through a ~30 ms relayed-TPU link capped it at
+    ~6 fps (BENCH_r03 interactive_sd_fps 6.17) while the sharded video
+    engine rendered the SAME SD dynamic frames at ~19 fps by inlining
+    texture generation + trace + shade + post into ONE jitted program
+    per frame (parallel/video.py, DESIGN lesson 19). This class routes
+    the interactive session through that same builder on a 1-device
+    mesh: factory bookkeeping stays on host, everything else is one
+    async dispatch. Toggles (d/b/l) select memoized program variants
+    (the engine's renderer memo); zoom quantizes r_escape on the same
+    4.0 grid as the staged path so keypresses can't recompile per step.
+
+    Semantic upgrade carried over from the video engine: normalization
+    stats recompute EVERY frame on-device instead of every 60 frames —
+    continuous stats remove the reference's 60-frame brightness jumps
+    (render.py:4321) and the old bench exclusion of the stats frame.
+    """
+
+    R_ESCAPE_QUANTUM = 4.0
+
+    def __init__(self, config: SceneConfig, renderer, dynamic):
+        import jax
+
+        from .parallel.mesh import make_frame_mesh
+
+        self.config = config
+        # Share the Renderer's device-resident packed skybox — one
+        # generation + quantization per session, both paths agree.
+        self.skybox_q = renderer.skybox_q
+        self.tex_dtype = renderer.tex_dtype
+        self.dynamic = dynamic
+        self.mesh = make_frame_mesh(1, 1, devices=jax.devices()[:1])
+        if dynamic is not None:
+            self.n_r, self.n_phi = dynamic.n_r, dynamic.n_phi
+            self.az_freq, self.az_shear = dynamic.az_freq, dynamic.az_shear
+        else:  # V2 volume model: no texture pipeline
+            self.n_r = self.n_phi = 0
+            self.az_freq = self.az_shear = 0.0
+
+    def render_async(self, cam_pos, fov, t, diff, bloom, flare):
+        """Dispatch one frame; returns the (H, W, 3) uint8 device array
+        without blocking (dispatch is async)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from .camera import build_camera
+        from .config import escape_radius
+        from .parallel.frames import pack_cameras
+        from .parallel.video import build_sharded_video_renderer
+
+        cfg = self.config
+        is_v2 = cfg.disk_model == "v2"
+        want_aa = "lod_radius" if (diff and not is_v2) else "disabled"
+        if cfg.anti_alias != want_aa or cfg.lens_flare != bool(flare):
+            cfg = dataclasses.replace(
+                cfg, anti_alias=want_aa, lens_flare=bool(flare)
+            )
+        q = self.R_ESCAPE_QUANTUM
+        r_esc = float(np.ceil(escape_radius(cfg.r_max, cam_pos) / q) * q)
+        fn = build_sharded_video_renderer(
+            self.mesh, cfg, self.n_r, self.n_phi, r_escape=r_esc,
+            az_freq=self.az_freq, az_shear=self.az_shear,
+            tex_dtype=self.tex_dtype, use_bloom=bool(bloom),
+        )
+        width, height = cfg.image_size
+        cam = build_camera(cam_pos, fov, width, height)
+        cam_pack = jnp.asarray(pack_cameras([cam]))
+        t_arr = jnp.asarray([t], jnp.float32)
+        if self.dynamic is not None:
+            fil, hs, rt = self.dynamic._pack(t)
+            fil, hs, rt = fil[None], hs[None], rt[None]
+        else:
+            fil = hs = rt = jnp.zeros((1, 1, 8), jnp.float32)
+        return fn(self.skybox_q, cam_pack, t_arr, fil, hs, rt)[0]
+
+
 class InteractiveSession:
     """The interactive loop's state + per-frame logic, viewer-agnostic.
 
@@ -165,12 +246,20 @@ class InteractiveSession:
     equivalent is the ti.GUI body (render.py:4227-4348)."""
 
     def __init__(self, config: SceneConfig, renderer=None, dynamic=None,
-                 lookahead: bool = True):
+                 lookahead: bool = True, fused: bool = True):
         if renderer is None:
             renderer, dynamic = _build(config)
         self.config = config
         self.renderer = renderer
         self.dynamic = dynamic
+        # Production path: the whole frame (texture gen + trace + shade
+        # + post) as ONE async dispatch (_FusedEngine). The staged
+        # Renderer path remains for solo-component debug views (which
+        # need comp-field manipulation) and for test doubles that stub
+        # the renderer (no skybox_q to share).
+        self._fused = None
+        if fused and hasattr(renderer, "skybox_q"):
+            self._fused = _FusedEngine(config, renderer, dynamic)
         # Double-buffered display: step N dispatches frame N (async)
         # and fetches frame N-1, so the device renders while the host
         # drains the previous frame's transfer and the viewer draws.
@@ -178,7 +267,9 @@ class InteractiveSession:
         # trade); through a relayed TPU the fetch is comparable to the
         # render, so the overlap nearly doubles throughput. Disabled
         # when the renderer has no device-resident path.
-        self.lookahead = lookahead and hasattr(renderer, "render_device")
+        self.lookahead = lookahead and (
+            self._fused is not None or hasattr(renderer, "render_device")
+        )
         self._pending = None
         cam = np.asarray(config.pov, dtype=np.float64)
         self.r = float(np.linalg.norm(cam))
@@ -205,6 +296,14 @@ class InteractiveSession:
 
     # -- input -------------------------------------------------------------
 
+    # Keys that change what the NEXT frame should look like; a pending
+    # lookahead frame rendered under the old settings must be dropped
+    # so no stale-mode frame is displayed (or screenshot) after a
+    # toggle.
+    _STATE_KEYS = frozenset(
+        ("d", "b", "l", "up", "down", "+", "=", "-", "0")
+    ) | frozenset(_SOLO_KEYS)
+
     def handle_key(self, k, screenshot_img=None) -> None:
         if k in ("q", "escape"):
             self.running = False
@@ -230,6 +329,8 @@ class InteractiveSession:
             path = f"output/screenshot_{int(time.time())}.png"
             save_image(np.asarray(screenshot_img), path)
             print(f"Screenshot: {path}")
+        if k in self._STATE_KEYS:
+            self._pending = None
 
     def handle_drag(self, x, y) -> None:
         if self.drag is None or x is None:
@@ -256,6 +357,40 @@ class InteractiveSession:
         self.wall_time += scaled_dt
         self.frames += 1
 
+        if self._fused is not None and self.solo < 0:
+            # Production path: ONE async dispatch for the whole frame
+            # (texture gen + trace + shade + post); factory bookkeeping
+            # is the only host work. The fused program recomputes
+            # normalization stats on-device every frame.
+            if self.dynamic is not None:
+                for fac in self.dynamic.factories.values():
+                    fac.tick(now=self.wall_time, dt=scaled_dt)
+            dev = self._fused.render_async(
+                self.cam_pos(), self.fov, self.wall_time,
+                self.diff, self.bloom, self.flare,
+            )
+            import jax
+
+            if self.lookahead:
+                # Dispatch this step's frame, display the previous one.
+                # last_render_ms then measures dispatch(N) + fetch(N-1)
+                # — exactly the steady-state per-frame wall cost.
+                prev, self._pending = self._pending, dev
+                img = np.asarray(jax.device_get(
+                    dev if prev is None else prev))
+            else:
+                img = np.asarray(jax.device_get(dev))
+        else:
+            img = self._step_staged(scaled_dt)
+        self.last_render_ms = (time.perf_counter() - t0) * 1e3
+        self.render_s += self.last_render_ms / 1e3
+        self.fps = 0.9 * self.fps + 0.1 * (1.0 / max(real_dt, 1e-3))
+        return img
+
+    def _step_staged(self, scaled_dt: float) -> np.ndarray:
+        """The staged Renderer path: solo-component debug views (which
+        need comp-field manipulation the fused program doesn't trace)
+        and stubbed-renderer tests."""
         if self.dynamic is not None:
             tex = self.dynamic.advance(
                 self.wall_time, scaled_dt,
@@ -276,26 +411,18 @@ class InteractiveSession:
             skip_bloom=not self.bloom,
             lens_flare=self.flare,
         )
-        if self.lookahead:
-            # Dispatch this step's frame, display the previous one.
-            # last_render_ms then measures dispatch(N) + fetch(N-1) —
-            # exactly the steady-state per-frame wall cost.
+        if self.lookahead and hasattr(self.renderer, "render_device"):
             dev = self.renderer.render_device(
                 self.cam_pos(), self.fov, **render_kwargs
             )
             prev, self._pending = self._pending, dev
             import jax
 
-            img = np.asarray(jax.device_get(
+            return np.asarray(jax.device_get(
                 dev if prev is None else prev))
-        else:
-            img = self.renderer.render(
-                self.cam_pos(), self.fov, **render_kwargs
-            )
-        self.last_render_ms = (time.perf_counter() - t0) * 1e3
-        self.render_s += self.last_render_ms / 1e3
-        self.fps = 0.9 * self.fps + 0.1 * (1.0 / max(real_dt, 1e-3))
-        return img
+        return self.renderer.render(
+            self.cam_pos(), self.fov, **render_kwargs
+        )
 
     def record_viewer_time(self, seconds: float) -> None:
         self.last_viewer_ms = seconds * 1e3

@@ -549,3 +549,64 @@ def test_interactive_lookahead_off_without_device_path(tiny_cfg):
         lookahead=True)
     assert not sess.lookahead
     assert sess.step(0.05).shape == (4, 4, 3)
+
+
+def test_toggle_drops_pending_lookahead_frame(tiny_cfg):
+    """A state-changing key (d/b/l/fov/zoom/solo) must invalidate the
+    pending lookahead frame — otherwise one frame rendered under the
+    OLD settings is displayed (or screenshot) after every toggle."""
+    from bhr_tpu.interactive import InteractiveSession
+
+    sess = InteractiveSession(
+        tiny_cfg, renderer=_FakeDeviceRenderer(), dynamic=_FakeDynamic())
+    sess.step(0.05)
+    assert sess._pending is not None
+    sess.handle_key("b")
+    assert sess._pending is None
+    # The next displayed frame is the fresh post-toggle dispatch, not
+    # the stale pre-toggle one.
+    shown = float(sess.step(0.05)[0, 0, 0])
+    assert shown == 1.0  # frame 1 = first frame rendered after toggle
+
+
+def test_fused_session_first_frame_matches_staged(tiny_cfg):
+    """The fused one-dispatch path (production) renders the same first
+    frame as the staged Renderer path — same scene state, same stats
+    (both recompute from the frame-0 comp field)."""
+    from bhr_tpu.interactive import InteractiveSession
+    from bhr_tpu.utils.io import quantize_frame
+
+    fused = InteractiveSession(tiny_cfg, lookahead=False)
+    assert fused._fused is not None, "fused engine should build"
+    staged = InteractiveSession(tiny_cfg, lookahead=False, fused=False)
+    assert staged._fused is None
+
+    a = np.asarray(fused.step(0.05))
+    assert a.dtype == np.uint8
+    b = quantize_frame(np.asarray(staged.step(0.05)))
+    assert a.shape == b.shape
+    assert a.any(), "fused frame is black"
+    # Same math graph modulo program structure: uint8 rounding flips
+    # at most 1 LSB.
+    assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+
+
+def test_fused_session_toggles_render_variants(tiny_cfg):
+    """d/b/l toggles select distinct fused program variants without
+    crashing; solo keys fall back to the staged comp-field path."""
+    from bhr_tpu.interactive import InteractiveSession
+
+    sess = InteractiveSession(tiny_cfg, lookahead=False)
+    base = np.asarray(sess.step(0.05)).astype(np.int16)
+    sess.handle_key("b")  # bloom off
+    no_bloom = np.asarray(sess.step(0.05)).astype(np.int16)
+    assert no_bloom.shape == base.shape
+    sess.handle_key("l")  # flare on (bloom still off)
+    flare = np.asarray(sess.step(0.05))
+    assert flare.shape == base.shape
+    sess.handle_key("6")  # solo filaments -> staged path
+    solo = np.asarray(sess.step(0.05))
+    assert solo.shape[:2] == base.shape[:2]
+    sess.handle_key("0")  # back to fused
+    again = np.asarray(sess.step(0.05))
+    assert again.dtype == np.uint8
