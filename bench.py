@@ -11,6 +11,9 @@ BENCH_r{N}.json round over round:
   sd_frame_ms            640x360 dynamic frame
   fourk_frame_ms         3840x2160 dynamic frame
   fhd_aa_frame_ms        FHD dynamic frame with ray-differential AA
+  fourk_aa_frame_ms      4K dynamic frame with AA (BASELINE config 3)
+  fhd_flare_frame_ms     FHD dynamic frame, full lens pipeline with
+                         flare enabled (BASELINE config 4)
   fhd_trace_ms           FHD geodesic trace alone (Pallas kernel)
   fhd_trace_aa_ms        FHD trace with differential transport
   mray_steps_per_s       useful RK4 ray-steps/s (slim kernel)
@@ -30,7 +33,13 @@ BENCH_r{N}.json round over round:
                          (render + PNG + inline H.264; includes host
                          fetch — see README footnote 1)
   interactive_sd_fps     InteractiveSession.step throughput (SD,
-                         dynamic texture, render + host fetch)
+                         dynamic texture, render + host fetch) via
+                         the fused one-dispatch-per-frame engine
+  v2_sd_video_fps        SD orbit video, V2 volume model through the
+                         same sharded engine
+  e2e_golden             {scene family: bool} golden verification on
+                         this backend (+ cross-backend bounds);
+                         e2e_golden_ok = all families pass
 
 Scene: the reference's headline config — FHD frame with procedural
 skybox, per-frame dynamic disk texture (lifecycle entities + evolving
@@ -115,7 +124,8 @@ def build_skybox_q():
     return skybox_q, tex_dtype
 
 
-def bench_scene_config(resolution: str, anti_alias: str = "disabled"):
+def bench_scene_config(resolution: str, anti_alias: str = "disabled",
+                       lens_flare: bool = False):
     """THE benchmark scene (one source for bench.py and the tools)."""
     from bhr_tpu.config import SceneConfig
 
@@ -130,12 +140,14 @@ def bench_scene_config(resolution: str, anti_alias: str = "disabled"):
         orbit=True,
         n_frames=3600,
         anti_alias=anti_alias,
+        lens_flare=lens_flare,
     ).validated()
 
 
 def time_resolution(resolution: str, batch: int,
                     skybox_q=None, tex_dtype=None,
-                    anti_alias: str = "disabled") -> float:
+                    anti_alias: str = "disabled",
+                    lens_flare: bool = False) -> float:
     """ms/frame for the headline dynamic-pipeline scene at a preset.
 
     THE measurement methodology — one jitted batched program (sharded
@@ -159,7 +171,7 @@ def time_resolution(resolution: str, batch: int,
     if skybox_q is None or tex_dtype is None:
         skybox_q, tex_dtype = build_skybox_q()
 
-    cfg = bench_scene_config(resolution, anti_alias)
+    cfg = bench_scene_config(resolution, anti_alias, lens_flare)
     width, height = cfg.image_size
 
     n_phi, n_r = compute_disk_texture_resolution(
@@ -353,35 +365,48 @@ def time_v2(batch: int = 8, skybox_q=None, tex_dtype=None) -> float:
     return (time.perf_counter() - t0) / batch * 1000.0
 
 
-def time_video_sd(n_frames: int = 48) -> float:
+def time_video_sd(n_frames: int = 48, disk_model: str = "texture") -> float:
     """End-to-end SD orbit-video frames/s, WARM steady state: sharded
     render + PNG frames + inline H.264, through the real
     render_video_sharded engine into a temp dir.
 
-    A short throwaway video runs first: it compiles the identical
-    per-batch program (16 warm-up frames = exactly one adaptive SD
-    dispatch batch, so the shapes match), and the engine's renderer
-    memo hands the timed pass the same traced jit wrapper — the timed
-    pass measures the engine, not compile or re-trace; an unwarmed
-    single pass read 4x low (BENCH_r02) while claiming to measure
-    throughput. Includes host fetch, so the number is still
-    environment-dependent (relayed-TPU tunnels cap it) — its job is
-    catching engine regressions round over round, not absolute
-    throughput (see README footnote 1).
+    A short throwaway video runs first: it compiles the IDENTICAL
+    per-batch program — frames_per_dispatch is pinned to the value the
+    timed pass uses (derived from n_frames and the device count, so the
+    warm and timed compiled shapes match on multi-chip hosts too, where
+    the adaptive rule would otherwise pick different per-device counts
+    for the two passes) and the warm video is exactly one such batch.
+    The engine's renderer memo then hands the timed pass the same
+    traced jit wrapper — the timed pass measures the engine, not
+    compile or re-trace; an unwarmed single pass read 4x low (BENCH_r02)
+    while claiming to measure throughput. Includes host fetch, so the
+    number is still environment-dependent (relayed-TPU tunnels cap it)
+    — its job is catching engine regressions round over round, not
+    absolute throughput (see README footnote 1).
+
+    ``disk_model="v2"`` times the same engine running the V2 volume
+    integrator per frame (trace + shade_frame_v2, no texture pipeline).
     """
     import contextlib
     import os
     import tempfile
 
+    import jax
+
     from bhr_tpu.config import SceneConfig
     from bhr_tpu.parallel.video import render_video_sharded
+
+    n_shards = len(jax.devices())
+    fpd = min(16, -(-n_frames // n_shards))  # = timed pass's batch shape
 
     def run(frames: int, td: str) -> float:
         cfg = SceneConfig(
             resolution="sd", pov=(6.0, 0.0, 0.5), fov=90.0,
             step_size=0.1, disk_inner_radius=2.0,
             disk_outer_radius=15.0, disk_tilt=15.0,
+            disk_model=disk_model,
             video=True, orbit=True, n_frames=frames, fps=24,
+            frames_per_dispatch=fpd,
             output=os.path.join(td, "bench.mp4"),
         ).validated()
         t0 = time.perf_counter()
@@ -392,7 +417,7 @@ def time_video_sd(n_frames: int = 48) -> float:
         return time.perf_counter() - t0
 
     with tempfile.TemporaryDirectory() as td:
-        run(16, td)  # compile + warm (one full SD dispatch batch)
+        run(n_shards * fpd, td)  # compile + warm (one full dispatch batch)
     with tempfile.TemporaryDirectory() as td:
         dt = run(n_frames, td)
     return round(n_frames / dt, 2)
@@ -439,7 +464,10 @@ def time_gather(n_indices: int = 1920 * 1080, reps: int = 8) -> float:
     t0 = time.perf_counter()
     int(run(bands))
     dt = time.perf_counter() - t0
-    return round(dt / (reps * n_indices) * 1e9, 2)
+    # Divide by the padded lane count actually gathered (bands.size >=
+    # n_indices): the kernel pays for every padded lane, so charging
+    # only n_indices would overstate ns/index by the padding fraction.
+    return round(dt / (reps * bands.size) * 1e9, 2)
 
 
 def time_interactive(n_frames: int = 40) -> float:
@@ -450,6 +478,13 @@ def time_interactive(n_frames: int = 40) -> float:
     the steady-state overlapped rate — the render-side ceiling any
     display loop sees. The render-vs-viewer split the HUD shows comes
     from the same step accounting.
+
+    The production session routes through the fused one-dispatch-per-
+    frame engine (interactive._FusedEngine), which recomputes
+    normalization stats on-device EVERY frame — so unlike the old
+    staged path there is no periodic stats frame excluded from (or
+    hidden by) the timed window; every timed step pays the full
+    steady-state cost a viewer sees.
     """
     from bhr_tpu.config import SceneConfig
     from bhr_tpu.interactive import InteractiveSession
@@ -467,6 +502,40 @@ def time_interactive(n_frames: int = 40) -> float:
         sess.step(1.0 / 30.0)
     dt = time.perf_counter() - t0
     return round(n_frames / dt, 2)
+
+
+def golden_check() -> dict:
+    """Run the e2e golden verification (tests/e2e_render.py) for every
+    scene family ON THIS BACKEND — same-backend tolerance + cross-
+    backend bounds. Emitting the result in the driver artifact makes
+    visual regressions on the production path falsifiable every round,
+    the way the perf metrics are (reference anchor:
+    /root/reference/tests/e2e_baseline.txt:1).
+
+    Returns {family: bool}; a missing golden or a tolerance failure is
+    False for that family.
+    """
+    import contextlib
+    import importlib
+    import os
+
+    tests_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"
+    )
+    if tests_dir not in sys.path:
+        sys.path.insert(0, tests_dir)
+    e2e = importlib.import_module("e2e_render")
+    out = {}
+    for scene in sorted(e2e.SCENES):
+        # verify() prints its diagnostics; stdout must stay one JSON
+        # line for the driver.
+        try:
+            with contextlib.redirect_stdout(sys.stderr):
+                out[scene] = e2e.verify(scene) == 0
+        except Exception as exc:  # pragma: no cover - defensive
+            print(f"golden {scene}: {exc}", file=sys.stderr)
+            out[scene] = False
+    return out
 
 
 def _default_backend_alive(timeout_s: float = 180.0) -> bool:
@@ -523,6 +592,15 @@ def main() -> int:
     aux("fhd_aa_frame_ms",
         lambda: round(time_resolution(
             "fhd", 16, skybox_q, tex_dtype, anti_alias="lod_radius"), 2))
+    # BASELINE.json configs 3 and 4: 4K with AA, and the full lens
+    # pipeline (flare on) at FHD — every reference rebuild target now
+    # has a driver-verified number.
+    aux("fourk_aa_frame_ms",
+        lambda: round(time_resolution(
+            "4k", 4, skybox_q, tex_dtype, anti_alias="lod_radius"), 2))
+    aux("fhd_flare_frame_ms",
+        lambda: round(time_resolution(
+            "fhd", 16, skybox_q, tex_dtype, lens_flare=True), 2))
     aux("v2_frame_ms",
         lambda: round(time_v2(8, skybox_q, tex_dtype), 2))
     # Time-budget guard: on a cold compile cache the earlier metrics
@@ -539,7 +617,18 @@ def main() -> int:
         aux("interactive_sd_fps", time_interactive)
     else:
         result["interactive_sd_fps"] = "skipped (bench time budget)"
+    if time.perf_counter() - t_start < 1400:
+        aux("v2_sd_video_fps", lambda: time_video_sd(disk_model="v2"))
+    else:
+        result["v2_sd_video_fps"] = "skipped (bench time budget)"
     aux("gather_ns_per_index", time_gather)
+    # Golden verification on the production backend: every scene
+    # family, same-backend tolerance + cross-backend bounds.
+    aux("e2e_golden", golden_check)
+    result["e2e_golden_ok"] = (
+        isinstance(result.get("e2e_golden"), dict)
+        and all(result["e2e_golden"].values())
+    )
 
     def trace_metrics(aa, prefix):
         tr = time_trace(aa)
