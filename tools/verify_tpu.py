@@ -12,6 +12,10 @@ chip. This script drives all of it and checks invariants:
      output; frame-to-frame change (lifecycle advancing). (NaN
      detection is section 1's job — these frames are uint8.)
   3. AA (ray-differential) variant compiles and softens edges.
+  4. V2 volume model through the SAME sharded engine (trace +
+     shade_frame_v2 per frame): bright, rotating output.
+  5. Fused interactive session (one dispatch per frame): uint8 frames,
+     toggle variants compile.
 
 Run from the repo root: `python tools/verify_tpu.py`; exit 0 = pass.
 """
@@ -122,6 +126,70 @@ def main() -> int:
         failures.append("AA output identical to non-AA output")
     else:
         print(f"AA variant OK: mean |AA - no-AA| = {aa_delta:.2f}")
+
+    # -- 4. V2 through the sharded engine ------------------------------------
+    v2_cfg = SceneConfig(
+        resolution="sd", pov=(6.0, 0.0, 0.5), fov=90.0, step_size=0.1,
+        disk_inner_radius=2.0, disk_outer_radius=15.0, disk_tilt=15.0,
+        disk_model="v2", orbit=True, n_frames=64,
+    ).validated()
+    width, height = v2_cfg.image_size
+    sky = generate_skybox(512, 256, seed=42, n_stars=1000)
+    from bhr_tpu.ops.sampling import production_tex_dtype
+
+    tex_dtype = production_tex_dtype()
+    skyq = jax.jit(lambda t: quantize_packed(pack_quad(t), tex_dtype))(
+        jnp.asarray(sky, jnp.float32)
+    )
+    mesh = make_frame_mesh(1, 1, devices=jax.devices()[:1])
+    v2_rend = build_sharded_video_renderer(
+        mesh, v2_cfg, 0, 0, r_escape=scene_escape_radius(v2_cfg),
+        az_freq=0.0, az_shear=0.0, tex_dtype=tex_dtype,
+    )
+    cams = cameras_for_orbit(v2_cfg, [0, 1], width, height)
+    zeros = jnp.zeros((2, 1, 8), jnp.float32)
+    v2_frames = np.asarray(v2_rend(
+        skyq, jnp.asarray(pack_cameras(cams)),
+        jnp.asarray([0.0, 5.0], jnp.float32), zeros, zeros, zeros,
+    ))
+    if v2_frames.max() < 64:
+        failures.append(f"V2 sharded frames dim (max {v2_frames.max()})")
+    v2_delta = np.abs(
+        v2_frames[0].astype(np.int16) - v2_frames[1].astype(np.int16)
+    ).mean()
+    if v2_delta <= 0.01:
+        failures.append(
+            f"V2 frames 0/1 nearly identical (mean delta {v2_delta}) — "
+            "orbit/t rotation not reaching the integrator"
+        )
+    else:
+        print(f"V2 sharded engine OK: max={v2_frames.max()} "
+              f"frame delta={v2_delta:.2f}")
+
+    # -- 5. fused interactive session ----------------------------------------
+    from bhr_tpu.interactive import InteractiveSession
+
+    sess = InteractiveSession(SceneConfig(
+        resolution="sd", pov=(6.0, 0.0, 0.5), fov=90.0, step_size=0.1,
+        disk_inner_radius=2.0, disk_outer_radius=15.0, disk_tilt=15.0,
+        interactive=True,
+    ).validated())
+    if sess._fused is None:
+        failures.append("fused interactive engine did not build")
+    else:
+        f0 = np.asarray(sess.step(1 / 30))
+        sess.handle_key("b")  # bloom-off variant must compile too
+        f1 = np.asarray(sess.step(1 / 30))
+        if f0.dtype != np.uint8 or f0.max() < 64:
+            failures.append(
+                f"fused interactive frame bad (dtype {f0.dtype}, "
+                f"max {f0.max()})"
+            )
+        elif f1.shape != f0.shape:
+            failures.append("fused toggle variant shape mismatch")
+        else:
+            print(f"fused interactive OK: max={f0.max()} "
+                  f"render {sess.last_render_ms:.0f} ms/frame")
 
     if failures:
         print("FAIL:")
