@@ -88,11 +88,18 @@ def main() -> int:
         restore = restorer()
         try:
             patch(stage)
+            # The engine memoizes built renderers on every *config*
+            # static (parallel/video._RENDERER_MEMO) — a monkeypatched
+            # stage is invisible to that key, so a memo hit would hand
+            # back the UNPATCHED program and the ablation would read
+            # ~0. Clear it so each stage traces fresh.
+            video._RENDERER_MEMO.clear()
             ms = bench.time_resolution(
                 args.resolution, batch, skybox_q, tex_dtype, anti_alias=aa
             )
         finally:
             restore()
+            video._RENDERER_MEMO.clear()
         delta = "" if base_ms is None else f"   (stage ~{base_ms - ms:+.1f})"
         if stage == "base":
             base_ms = ms
