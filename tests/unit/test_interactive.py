@@ -610,3 +610,19 @@ def test_fused_session_toggles_render_variants(tiny_cfg):
     sess.handle_key("0")  # back to fused
     again = np.asarray(sess.step(0.05))
     assert again.dtype == np.uint8
+
+
+def test_fused_session_v2(tiny_cfg):
+    """The V2 volume model drives the fused interactive path too (no
+    lifecycle system — zero entity placeholders, rotation via t)."""
+    from bhr_tpu.config import SceneConfig
+    from bhr_tpu.interactive import InteractiveSession
+
+    cfg = SceneConfig(
+        **{**tiny_cfg.__dict__, "disk_model": "v2"}
+    ).validated()
+    sess = InteractiveSession(cfg, lookahead=False)
+    assert sess._fused is not None and sess.dynamic is None
+    img = np.asarray(sess.step(0.05))
+    assert img.dtype == np.uint8 and img.shape == (36, 64, 3)
+    assert img.any()

@@ -58,6 +58,14 @@ render_video_sharded(cfg)
 # the broadcast resume arbitration (process 0 -> fleet) and idempotent
 # reassembly without re-rendering a single frame.
 render_video_sharded(dataclasses.replace(cfg, resume=True))
+# V2 volume model through the SAME fleet: multi-host admits both disk
+# models (sharded_video_eligible), and the V2 per-frame program is a
+# pure function of (camera, t) so it shards multi-host identically.
+v2_cfg = dataclasses.replace(
+    cfg, disk_model="v2", n_frames=4, frames_per_dispatch=1,
+    output=os.path.join(outdir, "mh_v2.mp4"),
+)
+render_video_sharded(v2_cfg)
 print("WORKER_OK", pid, flush=True)
 """
 
@@ -179,6 +187,37 @@ def test_frames_match_single_process(multihost_run):
     mh_dir = _temp_dir(outdir)
     sp_dir = video_temp_paths(str(sp_out / "sp.mp4"))[0]
     for f in range(N_FRAMES):
+        name = f"frame_{f:04d}.png"
+        a = np.asarray(Image.open(os.path.join(mh_dir, name)))
+        b = np.asarray(Image.open(os.path.join(sp_dir, name)))
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_v2_multihost_frames_match_single_process(multihost_run):
+    """The V2 volume model through the multi-host fleet renders the
+    same frames as a single-process V2 run (same per-device batch
+    shape, so bitwise)."""
+    from PIL import Image
+
+    from bhr_tpu.config import SceneConfig
+    from bhr_tpu.modes import video_temp_paths
+    from bhr_tpu.parallel.video import render_video_sharded
+
+    outdir, _, _ = multihost_run
+    assert os.path.getsize(outdir / "mh_v2.mp4") > 0
+    sp_out = outdir / "sp_v2"
+    sp_out.mkdir()
+    cfg = SceneConfig(
+        width=32, height=16, fov=60.0, step_size=0.2,
+        disk_inner_radius=2.0, disk_outer_radius=3.5, disk_tilt=15.0,
+        disk_model="v2", orbit=True, video=True, n_frames=4, fps=4,
+        n_stars=64, frames_per_dispatch=1, frame_shards=4,
+        output=str(sp_out / "sp.mp4"),
+    ).validated()
+    render_video_sharded(cfg)
+    mh_dir = video_temp_paths(str(outdir / "mh_v2.mp4"))[0]
+    sp_dir = video_temp_paths(str(sp_out / "sp.mp4"))[0]
+    for f in range(4):
         name = f"frame_{f:04d}.png"
         a = np.asarray(Image.open(os.path.join(mh_dir, name)))
         b = np.asarray(Image.open(os.path.join(sp_dir, name)))
