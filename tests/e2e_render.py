@@ -192,6 +192,10 @@ def _verify_cross_backend(img: np.ndarray, scene: str = "default") -> bool:
 
 
 def main() -> int:
+    from bhr_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # standalone runs reuse compiled programs
+
     ap = argparse.ArgumentParser()
     group = ap.add_mutually_exclusive_group(required=True)
     group.add_argument("--generate", action="store_true")

@@ -33,6 +33,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from bhr_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # repeat verifies reuse every compiled program
+
     if jax.default_backend() not in ("tpu", "axon"):
         print(f"note: backend is {jax.default_backend()}, not TPU — "
               "still running (paths identical, speeds differ)")
