@@ -547,6 +547,45 @@ def _default_backend_alive(timeout_s: float = 180.0) -> bool:
     return probe_default_backend(timeout_s) > 0
 
 
+# A single metric taking longer than this is a wedged device relay,
+# not a slow benchmark: the slowest legitimate metric is a cold-cache
+# 4K+AA compile (~6-7 min measured); today's observed relay stalls run
+# 20+ min and block inside a C++ fetch no signal can interrupt.
+_STALL_LIMIT_S = 900.0
+
+
+def _start_stall_watchdog(result: dict, state: dict) -> None:
+    """Emit the partial artifact instead of losing the whole round.
+
+    A relay stall blocks the main thread inside a device fetch
+    (uninterruptible by SIGALRM — signals only run between bytecodes).
+    This daemon thread watches the per-metric heartbeat; once a metric
+    has been in flight past _STALL_LIMIT_S and the headline value is
+    already in hand, it prints the JSON collected so far (with the
+    stalled metric named) and hard-exits — a partial BENCH_r{N}
+    artifact beats a driver-timeout empty one. If the HEADLINE itself
+    stalls there is nothing worth emitting and the driver's own
+    timeout reports the failure.
+    """
+    import threading
+
+    def watch():
+        while not state.get("done"):
+            time.sleep(10.0)
+            stalled_for = time.monotonic() - state["beat"]
+            if (not state.get("done") and stalled_for > _STALL_LIMIT_S
+                    and "value" in result):
+                for key in state.get("pending", []):
+                    result.setdefault(key, "skipped (device stall)")
+                result["stalled_in"] = state.get("current", "?")
+                print(json.dumps(result), flush=True)
+                import os
+
+                os._exit(0)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def main() -> int:
     if not _default_backend_alive():
         print("bench.py: default JAX backend unavailable (device relay "
@@ -558,6 +597,10 @@ def main() -> int:
 
     enable_compile_cache()
     t_start = time.perf_counter()
+    result: dict = {}
+    state = {"beat": time.monotonic(), "current": "headline",
+             "done": False, "pending": []}
+    _start_stall_watchdog(result, state)
     skybox_q, tex_dtype = build_skybox_q()
 
     def log(msg):
@@ -566,22 +609,25 @@ def main() -> int:
     log("bench: fhd dynamic frame ...")
     ms = time_resolution("fhd", 32, skybox_q, tex_dtype)
 
-    result = {
+    result.update({
         "metric": "fhd_dynamic_frame_ms",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(2000.0 / ms, 2),
-    }
+    })
 
     # Secondary metrics: every README perf claim, same JSON object.
     # Failures here must not cost the headline metric — record the
     # error string instead.
     def aux(key, fn):
         log(f"bench: {key} ...")
+        state["current"] = key
+        state["beat"] = time.monotonic()
         try:
             result[key] = fn()
         except Exception as exc:  # pragma: no cover - defensive
             result[key] = f"error: {exc}"
+        state["beat"] = time.monotonic()
 
     aux("sd_frame_ms",
         lambda: round(time_resolution("sd", 32, skybox_q, tex_dtype), 2))
@@ -640,6 +686,7 @@ def main() -> int:
     aux("fhd_trace_ms", lambda: trace_metrics(False, ""))
     aux("fhd_trace_aa_ms", lambda: trace_metrics(True, "_aa"))
 
+    state["done"] = True
     print(json.dumps(result))
     return 0
 

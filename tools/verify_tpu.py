@@ -184,6 +184,7 @@ def main() -> int:
         f0 = np.asarray(sess.step(1 / 30))
         sess.handle_key("b")  # bloom-off variant must compile too
         f1 = np.asarray(sess.step(1 / 30))
+        sess.step(1 / 30)  # warm step: report steady-state ms, not compile
         if f0.dtype != np.uint8 or f0.max() < 64:
             failures.append(
                 f"fused interactive frame bad (dtype {f0.dtype}, "
@@ -193,7 +194,7 @@ def main() -> int:
             failures.append("fused toggle variant shape mismatch")
         else:
             print(f"fused interactive OK: max={f0.max()} "
-                  f"render {sess.last_render_ms:.0f} ms/frame")
+                  f"render {sess.last_render_ms:.0f} ms/frame (warm)")
 
     if failures:
         print("FAIL:")
