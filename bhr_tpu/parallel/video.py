@@ -20,6 +20,11 @@ render.py:4456); continuous stats remove the 60-frame brightness jumps.
 Works identically on the CPU test mesh (8 virtual devices) and a real
 TPU pod slice; a 1-device mesh degrades to an efficient batched
 sequential renderer.
+
+Both disk models render through this engine: the pipeline above is the
+V1 texture model's; for disk_model="v2" the per-frame program is just
+trace + shade_frame_v2 (+ lens stack) — a pure function of (camera, t)
+with no host-packed state at all.
 """
 
 from __future__ import annotations
