@@ -561,11 +561,13 @@ def _start_stall_watchdog(result: dict, state: dict) -> None:
     (uninterruptible by SIGALRM — signals only run between bytecodes).
     This daemon thread watches the per-metric heartbeat; once a metric
     has been in flight past _STALL_LIMIT_S and the headline value is
-    already in hand, it prints the JSON collected so far (with the
-    stalled metric named) and hard-exits — a partial BENCH_r{N}
-    artifact beats a driver-timeout empty one. If the HEADLINE itself
-    stalls there is nothing worth emitting and the driver's own
-    timeout reports the failure.
+    already in hand, it prints the JSON collected so far (the ordered
+    ``state["pending"]`` list — maintained by main()'s aux driver —
+    names every metric not yet reached, and ``"partial": true`` lets
+    the driver tell a truncated artifact from a complete one) and
+    hard-exits — a partial BENCH_r{N} artifact beats a driver-timeout
+    empty one. If the HEADLINE itself stalls there is nothing worth
+    emitting and the driver's own timeout reports the failure.
     """
     import threading
 
@@ -578,12 +580,88 @@ def _start_stall_watchdog(result: dict, state: dict) -> None:
                 for key in state.get("pending", []):
                     result.setdefault(key, "skipped (device stall)")
                 result["stalled_in"] = state.get("current", "?")
+                result["partial"] = True
                 print(json.dumps(result), flush=True)
                 import os
 
                 os._exit(0)
 
     threading.Thread(target=watch, daemon=True).start()
+
+
+# --- Round-over-round self-regression gate --------------------------------
+#
+# The r04 artifact shipped a silent ~9% trace-throughput drop; nothing
+# in the bench flagged it (the judge did). Comparing against the
+# previous round's committed artifact makes that class of drift
+# structurally impossible: any metric >5% worse lands in a
+# "regressions" key of the JSON line, where the next judge (and the
+# builder, via tools/bench_trace.py etc.) sees it immediately.
+# Direction matters per metric: ms/ns are lower-better, fps/steps/util
+# higher-better.
+
+_LOWER_BETTER = ("_ms", "_ns_per_index")
+_HIGHER_BETTER = ("_fps", "mray_steps_per_s", "vpu_mfu", "vpu_issue_util",
+                  "vs_baseline")
+_REGRESSION_TOL = 0.05
+
+
+def _metric_direction(key: str):
+    if key == "value":  # headline fhd_dynamic_frame_ms travels as "value"
+        return "lower"
+    if any(key.endswith(s) for s in _LOWER_BETTER):
+        return "lower"
+    if any(s in key for s in _HIGHER_BETTER):
+        return "higher"
+    return None
+
+
+def _load_prev_artifact() -> dict:
+    """Latest committed BENCH_r{N}.json next to this script, parsed."""
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best = -1, {}
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                obj = json.load(f)
+        except Exception:
+            continue
+        parsed = obj.get("parsed") if isinstance(obj, dict) else None
+        if not isinstance(parsed, dict) and isinstance(obj, dict) \
+                and "metric" in obj:
+            parsed = obj
+        if isinstance(parsed, dict) and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), parsed
+    return {"round": best_n, "metrics": best}
+
+
+def _regression_check(result: dict) -> None:
+    prev = _load_prev_artifact()
+    if prev["round"] < 0:
+        return
+    regressions = {}
+    for key, old in prev["metrics"].items():
+        direction = _metric_direction(key)
+        new = result.get(key)
+        if direction is None or not isinstance(old, (int, float)) \
+                or not isinstance(new, (int, float)) or old == 0:
+            continue
+        worse = ((new - old) / old if direction == "lower"
+                 else (old - new) / old)
+        if worse > _REGRESSION_TOL:
+            regressions[key] = {
+                "prev": old, "now": new, "worse_pct": round(worse * 100, 1)
+            }
+    result["vs_prev_round"] = prev["round"]
+    if regressions:
+        result["regressions"] = regressions
 
 
 def main() -> int:
@@ -618,10 +696,13 @@ def main() -> int:
 
     # Secondary metrics: every README perf claim, same JSON object.
     # Failures here must not cost the headline metric — record the
-    # error string instead.
+    # error string instead. Each aux pops itself off state["pending"]
+    # so a stall emission can name everything not yet reached.
     def aux(key, fn):
         log(f"bench: {key} ...")
         state["current"] = key
+        if key in state["pending"]:
+            state["pending"].remove(key)
         state["beat"] = time.monotonic()
         try:
             result[key] = fn()
@@ -629,44 +710,63 @@ def main() -> int:
             result[key] = f"error: {exc}"
         state["beat"] = time.monotonic()
 
+    def trace_metrics(aa, prefix):
+        tr = time_trace(aa)
+        result[f"mray_steps_per_s{prefix}"] = tr["mray_steps_per_s"]
+        result[f"vpu_mfu{prefix}"] = tr["vpu_mfu"]
+        result[f"vpu_issue_util{prefix}"] = tr["vpu_issue_util"]
+        return tr["trace_ms"]
+
+    # Order (r5 restructure, VERDICT r4 #2 / ADVICE r4): the trace and
+    # video rows the README leans on hardest run FIRST, before the
+    # expensive 4K/AA compiles — in r04 the 4K+AA and flare metrics ran
+    # early and pushed elapsed time past the budget gate, so the
+    # headline video row shipped as "skipped". The budget gate now only
+    # protects against a genuinely wedged round (45 min), and the stall
+    # watchdog (above) handles relay hangs per-metric.
+    plan = [
+        "fhd_trace_ms", "fhd_trace_aa_ms", "sd_frame_ms",
+        "sd_video_fps", "interactive_sd_fps", "v2_sd_video_fps",
+        "hd_frame_ms", "fhd_aa_frame_ms", "v2_frame_ms",
+        "fourk_frame_ms", "fourk_aa_frame_ms", "fhd_flare_frame_ms",
+        "gather_ns_per_index", "e2e_golden",
+    ]
+    state["pending"] = list(plan)
+
+    aux("fhd_trace_ms", lambda: trace_metrics(False, ""))
+    aux("fhd_trace_aa_ms", lambda: trace_metrics(True, "_aa"))
     aux("sd_frame_ms",
         lambda: round(time_resolution("sd", 32, skybox_q, tex_dtype), 2))
+    aux("sd_video_fps", time_video_sd)
+    aux("interactive_sd_fps", time_interactive)
+    aux("v2_sd_video_fps", lambda: time_video_sd(disk_model="v2"))
     aux("hd_frame_ms",
         lambda: round(time_resolution("hd", 32, skybox_q, tex_dtype), 2))
-    aux("fourk_frame_ms",
-        lambda: round(time_resolution("4k", 8, skybox_q, tex_dtype), 2))
     aux("fhd_aa_frame_ms",
         lambda: round(time_resolution(
             "fhd", 16, skybox_q, tex_dtype, anti_alias="lod_radius"), 2))
-    # BASELINE.json configs 3 and 4: 4K with AA, and the full lens
-    # pipeline (flare on) at FHD — every reference rebuild target now
-    # has a driver-verified number.
-    aux("fourk_aa_frame_ms",
-        lambda: round(time_resolution(
-            "4k", 4, skybox_q, tex_dtype, anti_alias="lod_radius"), 2))
-    aux("fhd_flare_frame_ms",
-        lambda: round(time_resolution(
-            "fhd", 16, skybox_q, tex_dtype, lens_flare=True), 2))
     aux("v2_frame_ms",
         lambda: round(time_v2(8, skybox_q, tex_dtype), 2))
-    # Time-budget guard: on a cold compile cache the earlier metrics
-    # already cost many minutes; never let the video/interactive passes
-    # push the whole bench past a driver timeout. Ordered by how much
-    # the README leans on each number (the video row burned a round on
-    # an inconsistent reading; it must not get budget-skipped behind
-    # cheaper metrics).
-    if time.perf_counter() - t_start < 900:
-        aux("sd_video_fps", time_video_sd)
-    else:
-        result["sd_video_fps"] = "skipped (bench time budget)"
-    if time.perf_counter() - t_start < 1200:
-        aux("interactive_sd_fps", time_interactive)
-    else:
-        result["interactive_sd_fps"] = "skipped (bench time budget)"
-    if time.perf_counter() - t_start < 1400:
-        aux("v2_sd_video_fps", lambda: time_video_sd(disk_model="v2"))
-    else:
-        result["v2_sd_video_fps"] = "skipped (bench time budget)"
+    # BASELINE.json configs 3 and 4 (4K with AA; full lens pipeline
+    # with flare at FHD) are the heaviest compiles — they run last
+    # among the frame metrics, behind the budget gate, so a cold cache
+    # can cost at most these rows, never the headline ones above.
+    def gated(key, fn, budget_s=2700.0):
+        if time.perf_counter() - t_start < budget_s:
+            aux(key, fn)
+        else:
+            if key in state["pending"]:
+                state["pending"].remove(key)
+            result[key] = "skipped (bench time budget)"
+
+    gated("fourk_frame_ms",
+          lambda: round(time_resolution("4k", 8, skybox_q, tex_dtype), 2))
+    gated("fourk_aa_frame_ms",
+          lambda: round(time_resolution(
+              "4k", 4, skybox_q, tex_dtype, anti_alias="lod_radius"), 2))
+    gated("fhd_flare_frame_ms",
+          lambda: round(time_resolution(
+              "fhd", 16, skybox_q, tex_dtype, lens_flare=True), 2))
     aux("gather_ns_per_index", time_gather)
     # Golden verification on the production backend: every scene
     # family, same-backend tolerance + cross-backend bounds.
@@ -676,16 +776,8 @@ def main() -> int:
         and all(result["e2e_golden"].values())
     )
 
-    def trace_metrics(aa, prefix):
-        tr = time_trace(aa)
-        result[f"mray_steps_per_s{prefix}"] = tr["mray_steps_per_s"]
-        result[f"vpu_mfu{prefix}"] = tr["vpu_mfu"]
-        result[f"vpu_issue_util{prefix}"] = tr["vpu_issue_util"]
-        return tr["trace_ms"]
-
-    aux("fhd_trace_ms", lambda: trace_metrics(False, ""))
-    aux("fhd_trace_aa_ms", lambda: trace_metrics(True, "_aa"))
-
+    result["elapsed_s"] = round(time.perf_counter() - t_start, 1)
+    _regression_check(result)
     state["done"] = True
     print(json.dumps(result))
     return 0

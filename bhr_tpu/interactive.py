@@ -198,9 +198,14 @@ class _FusedEngine:
             self.n_r = self.n_phi = 0
             self.az_freq = self.az_shear = 0.0
 
-    def render_async(self, cam_pos, fov, t, diff, bloom, flare):
+    def render_async(self, cam_pos, fov, t, diff, bloom, flare,
+                     solo=-1):
         """Dispatch one frame; returns the (H, W, 3) uint8 device array
-        without blocking (dispatch is async)."""
+        without blocking (dispatch is async). ``solo`` >= 0 selects the
+        solo-component debug variant of the fused program (masked comp
+        field inside the one dispatch — same rate as normal frames;
+        first press of each solo key compiles its variant once, then
+        the renderer memo serves it)."""
         import dataclasses
 
         import jax.numpy as jnp
@@ -223,6 +228,7 @@ class _FusedEngine:
             self.mesh, cfg, self.n_r, self.n_phi, r_escape=r_esc,
             az_freq=self.az_freq, az_shear=self.az_shear,
             tex_dtype=self.tex_dtype, use_bloom=bool(bloom),
+            solo_idx=int(solo) if not is_v2 else -1,
         )
         width, height = cfg.image_size
         cam = build_camera(cam_pos, fov, width, height)
@@ -253,9 +259,9 @@ class InteractiveSession:
         self.renderer = renderer
         self.dynamic = dynamic
         # Production path: the whole frame (texture gen + trace + shade
-        # + post) as ONE async dispatch (_FusedEngine). The staged
-        # Renderer path remains for solo-component debug views (which
-        # need comp-field manipulation) and for test doubles that stub
+        # + post) as ONE async dispatch (_FusedEngine), including solo
+        # debug views (memoized masked-comp program variants). The
+        # staged Renderer path remains only for test doubles that stub
         # the renderer (no skybox_q to share).
         self._fused = None
         if fused and hasattr(renderer, "skybox_q"):
@@ -357,17 +363,22 @@ class InteractiveSession:
         self.wall_time += scaled_dt
         self.frames += 1
 
-        if self._fused is not None and self.solo < 0:
+        if self._fused is not None:
             # Production path: ONE async dispatch for the whole frame
             # (texture gen + trace + shade + post); factory bookkeeping
             # is the only host work. The fused program recomputes
-            # normalization stats on-device every frame.
+            # normalization stats on-device every frame. Solo debug
+            # views (1-8 keys) are fused too — a memoized program
+            # variant masks the comp field on device, so solo frames
+            # run at the same one-dispatch rate as normal frames
+            # instead of the ~5-dispatch staged fallback they used
+            # through round 4.
             if self.dynamic is not None:
                 for fac in self.dynamic.factories.values():
                     fac.tick(now=self.wall_time, dt=scaled_dt)
             dev = self._fused.render_async(
                 self.cam_pos(), self.fov, self.wall_time,
-                self.diff, self.bloom, self.flare,
+                self.diff, self.bloom, self.flare, solo=self.solo,
             )
             import jax
 
@@ -388,9 +399,9 @@ class InteractiveSession:
         return img
 
     def _step_staged(self, scaled_dt: float) -> np.ndarray:
-        """The staged Renderer path: solo-component debug views (which
-        need comp-field manipulation the fused program doesn't trace)
-        and stubbed-renderer tests."""
+        """The staged Renderer path: stubbed-renderer tests and
+        sessions built with fused=False (it still honors solo_idx via
+        DynamicDiskSystem.advance, so both paths render solo views)."""
         if self.dynamic is not None:
             tex = self.dynamic.advance(
                 self.wall_time, scaled_dt,

@@ -129,6 +129,22 @@ _SOLO_PAIRS = {
 }
 
 
+def solo_comp(comp: jnp.ndarray, solo_idx: int) -> jnp.ndarray:
+    """Zero all components except the soloed density/temp pair;
+    disturb_mod becomes the neutral multiplier 1. One fused masked
+    select (this runs every frame while a solo view is held). Module-
+    level so the fused one-dispatch engine (parallel/video.py) and the
+    staged DynamicDiskSystem path share the identical mask logic."""
+    keep = {solo_idx} | set(_SOLO_PAIRS.get(solo_idx, []))
+    mask = jnp.asarray(
+        [i in keep for i in range(13)], bool
+    )[:, None, None]
+    # Non-kept slices drop to 0, except disturb_mod (slice 12)
+    # whose neutral value is 1.
+    fill = jnp.zeros((13,), comp.dtype).at[12].set(1.0)[:, None, None]
+    return jnp.where(mask, comp, fill)
+
+
 def adaptive_generation_scale(n_r: int, n_phi: int) -> int:
     """Low-res generation factor by texture size: 4 for 4K-class
     textures (n_phi >= 4096), else 2 — both from the reference's
@@ -307,14 +323,4 @@ class DynamicDiskSystem:
         )
 
     def _solo_comp(self, comp: jnp.ndarray, solo_idx: int) -> jnp.ndarray:
-        """Zero all components except the soloed density/temp pair;
-        disturb_mod becomes the neutral multiplier 1. One fused masked
-        select (this runs every frame while a solo view is held)."""
-        keep = {solo_idx} | set(_SOLO_PAIRS.get(solo_idx, []))
-        mask = jnp.asarray(
-            [i in keep for i in range(13)], bool
-        )[:, None, None]
-        # Non-kept slices drop to 0, except disturb_mod (slice 12)
-        # whose neutral value is 1.
-        fill = jnp.zeros((13,), comp.dtype).at[12].set(1.0)[:, None, None]
-        return jnp.where(mask, comp, fill)
+        return solo_comp(comp, solo_idx)

@@ -129,6 +129,7 @@ def build_sharded_video_renderer(
     tex_dtype=None,
     generation_scale: Optional[int] = None,
     use_bloom: bool = True,
+    solo_idx: int = -1,
 ):
     """Compile the sharded per-frame dynamic renderer.
 
@@ -144,6 +145,15 @@ def build_sharded_video_renderer(
     entity-param inputs are accepted for signature uniformity and
     ignored (pass (F, 1, 8) zeros). ``use_bloom`` exists for the fused
     interactive session's 'b' toggle; video always renders with bloom.
+
+    ``solo_idx`` (texture model only, >= 0) renders the solo-component
+    debug view INSIDE the fused program — the comp field is masked to
+    the soloed density/temp pair (models.dynamic_disk.solo_comp, the
+    same mask the staged path uses) before stats+compose, so the
+    interactive solo keys run at the fused one-dispatch rate instead
+    of falling back to the ~5-dispatch staged path (reference solo
+    behavior: render.py:3728-3753, 4242-4268). Stats are computed from
+    the soloed field, matching the staged display-local semantics.
     """
     width, height = config.image_size
     cfg = config
@@ -176,6 +186,7 @@ def build_sharded_video_renderer(
         float(cfg.disk_inner_radius), float(cfg.disk_outer_radius),
         bool(cfg.use_ray_differentials), float(cfg.aa_strength),
         bool(cfg.lens_flare), bool(use_bloom), model_key,
+        int(solo_idx) if not is_v2 else -1,
     )
     hit = _RENDERER_MEMO.get(memo_key)
     if hit is not None:
@@ -282,6 +293,10 @@ def build_sharded_video_renderer(
                 phi_scale=generation_scale,
             )
             comp = assemble_comp(bg, staging)
+            if solo_idx >= 0:
+                from ..models.dynamic_disk import solo_comp
+
+                comp = solo_comp(comp, solo_idx)
             p98, scale, row_stats = _recompute_stats(comp, edge)
             tex = compose_from_components(
                 comp, omega_rows, edge, p98, scale, row_stats,
