@@ -62,12 +62,13 @@ import time
 # --- Vector-ops-per-RK4-step model (roofline accounting) ------------------
 #
 # THE one FLOP model — bench.py, README footnote 2, and DESIGN.md
-# lesson 12 all quote these constants; change them here only.
+# lessons 12/23 all quote these constants; change them here only.
 #
-# Static count of f32 VPU ops per *useful* ray-step of the Pallas kernel
-# body (ops/geodesic_pallas.py), counting mul/add/fma-as-2/cmp/select as
-# 1 and sqrt/rsqrt/recip as 1 (v5e transcendental ops issue ~1/cycle/lane
-# like mults). Two totals per kernel, split by counting policy:
+# f32 VPU ops per *useful* ray-step of the Pallas kernel's fat-phase
+# body (ops/geodesic_pallas.py), counting mul/add (fma-as-2), cmp,
+# select as 1 and sqrt/rsqrt/transcendentals as 1 (v5e transcendental
+# ops issue ~1/cycle/lane like mults). Two totals per kernel, split by
+# counting policy:
 #
 #   ISSUE ops  — every vector op the kernel body issues for a useful
 #                step, INCLUDING cmp/select/mask bookkeeping. steps/s x
@@ -76,27 +77,29 @@ import time
 #   ARITH ops  — the mul/add/fma/sqrt subset only (classic MFU
 #                numerator; cmp/select/logical excluded).
 #
-# Breakdown (slim kernel, record_hits=True, K=4 slots): issue / arith
-#
-#   adaptive step h (r2, sqrt, far/near, clip)         ~20 / 16
-#   4x stage_f (r2, rsqrt, ir2, ir5, f)                 40 / 40
-#   RK4 position/direction (4 stages: kp/kd/stage pos) 124 / 124
-#   RK4 final combine (6 components x ~7)               42 / 42
-#   termination (nr2, affine, masks)                    14 /  7
-#   plane-crossing test + hit interp (f_old/new, t)     20 / 16
-#   hit-slot selects (K=4 slots x 5 feats + masks)      28 /  0
-#   state-commit selects (pos/dir/affine/flags)         12 /  0
-#                                            total    ~300 / 245
-#
-# The AA kernel adds two Jacobian-transported differential systems:
-#   2 x 4 stages x (proj + 3 fma jac, qd, qp, stage-in) 232 / 232
-#   2 x final combines (6 comps x ~7)                    84 /  84
-#   extra selects (12 state planes) + 6 hit-lerp planes  30 /   0
-#                                         AA adds      ~346 / 316
-OPS_PER_STEP_SLIM = 300.0
-OPS_PER_STEP_AA = 646.0
-ARITH_FLOPS_PER_STEP_SLIM = 245.0
-ARITH_FLOPS_PER_STEP_AA = 561.0
+# These constants are DERIVED MECHANICALLY from the kernel's traced
+# jaxpr by tools/validate_op_model.py (tile-shaped vector primitives of
+# the fat while-loop body, classified per the policy above, divided by
+# the unrolled exit cadence) and pinned within 10% by
+# tests/unit/test_op_model.py — a hand count drifted 15-20% high on
+# the slim kernel (r4 values 300/245) and was corrected in round 5
+# (DESIGN.md lesson 23). Re-run the tool whenever the kernel changes;
+# the test fails loudly if the constants go stale.
+OPS_PER_STEP_SLIM = 256.0
+OPS_PER_STEP_AA = 650.0
+ARITH_FLOPS_PER_STEP_SLIM = 196.0
+ARITH_FLOPS_PER_STEP_AA = 550.0
+
+# Metrics whose DEFINITION changed this round: the regression gate
+# skips them (a definitional step is not a performance regression) and
+# notes why in the artifact. vpu_*: recalibrated op-model constants
+# (above) lower the slim-kernel utilization numbers ~15-20% at
+# unchanged physics throughput — mray_steps_per_s, which shares the
+# measurement, stays comparable and gated.
+REDEFINED_METRICS = {
+    "vpu_mfu": "op model recalibrated (300/245 -> 256/196 ops/step)",
+    "vpu_issue_util": "op model recalibrated (300/245 -> 256/196)",
+}
 
 # v5e VPU f32 peak: 8x128-lane vregs x 4 ALUs x ~940 MHz per TensorCore
 # ~= 3.85e12 FLOP/s (the MXU's 197 TFLOP/s bf16 is irrelevant here —
@@ -647,7 +650,11 @@ def _regression_check(result: dict) -> None:
     if prev["round"] < 0:
         return
     regressions = {}
+    notes = {}
     for key, old in prev["metrics"].items():
+        if key in REDEFINED_METRICS:
+            notes[key] = REDEFINED_METRICS[key]
+            continue
         direction = _metric_direction(key)
         new = result.get(key)
         if direction is None or not isinstance(old, (int, float)) \
@@ -660,6 +667,8 @@ def _regression_check(result: dict) -> None:
                 "prev": old, "now": new, "worse_pct": round(worse * 100, 1)
             }
     result["vs_prev_round"] = prev["round"]
+    if notes:
+        result["metric_notes"] = notes
     if regressions:
         result["regressions"] = regressions
 

@@ -87,6 +87,15 @@ def test_e2e_flare_matches_golden_if_present():
     _check_scene_golden("flare")
 
 
+@pytest.mark.slow
+def test_e2e_video_matches_golden_if_present():
+    # The sharded video engine end-to-end (orbit cameras, packed
+    # lifecycle params, batched shard_map render, async PNG writes):
+    # frames 0 and 4 of a tiny 8-frame orbit, as read back from the
+    # engine's PNG output. The still families never execute this path.
+    _check_scene_golden("video")
+
+
 def test_e2e_cli_alias_conflict_rejected(monkeypatch):
     """`--scene v2 --aa` must raise through main(), not silently verify
     the aa golden family (regression: main() resolved the alias before

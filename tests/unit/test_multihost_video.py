@@ -20,7 +20,11 @@ import time
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # see pyproject: core suite runs -m 'not slow'
+# Fleet tier (see pyproject markers): multi-process jax.distributed
+# runs, excluded from both the core ("not slow") and the bounded
+# ("not fleet") suites — doubly marked so the long-standing
+# `-m "not slow"` core invocation keeps excluding these too.
+pytestmark = [pytest.mark.slow, pytest.mark.fleet]
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
