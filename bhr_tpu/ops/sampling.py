@@ -265,16 +265,30 @@ def mip_atlas_level_count(h: int, w: int, levels: int) -> int:
 
 
 def build_mip_atlas_quad(tex: jnp.ndarray, levels: int, tex_dtype):
-    """Quad-packed mip ATLAS: one (H, 2W, C') array, level l at column
-    offset ``2W - 2*(W >> l)`` occupying (H >> l, W >> l).
+    """Quad-packed mip ATLAS, bottom-packed: one (H + H//2, W, C')
+    array — level 0 dense in rows [0, H) at its native stride W, level
+    l >= 1 in rows [H, H + (H >> l)) at column offset
+    ``W - 2*(W >> l)`` occupying (H >> l, W >> l).
 
     Replaces the padded (L, H, W, C') pyramid layout for the LOD path:
     the padded form materializes + quantizes L full-size planes (4x the
     base texture's traffic for 3 levels of mostly zeros); the atlas is
-    1.33x the base. Levels are quantized to the storage dtype as they
-    are placed. Requires H and W divisible by 2^levels (true for all
-    generated disk textures — sizes are multiples of 16; callers fall
-    back to the padded pyramid for arbitrary external textures).
+    1.5x the base rows. Levels are quantized to the storage dtype as
+    they are placed. Requires H and W divisible by 2^levels (true for
+    all generated disk textures — sizes are multiples of 16; callers
+    fall back to the padded pyramid for arbitrary external textures).
+
+    Why bottom- and not side-packed (the round-3 layout put level l's
+    columns beside level 0 in (H, 2W)): gather cost grows with the
+    ACCESS FOOTPRINT once it passes ~80 MB on v5e (measured flat
+    ~7.5 ns/index through 77 MB, then ~11 at 116 MB, ~14 at 155 MB).
+    At the 4K texture size (832 x 5824) the side layout interleaved
+    level 0's rows across the full 155 MB atlas, so the dominant
+    level-0 samples paid the 14 ns rate — ~2x the gather floor.
+    Bottom-packing keeps level 0 byte-dense in its own 77 MB prefix
+    (identical flat indices to the plain quad table), so level-0
+    gathers run at the floor and only the rarer high-LOD samples touch
+    the tail rows (DESIGN.md lesson 24).
 
     Returns (atlas, num_levels) with num_levels = levels + 1 (matching
     build_mipmaps' level count).
@@ -284,11 +298,13 @@ def build_mip_atlas_quad(tex: jnp.ndarray, levels: int, tex_dtype):
         raise ValueError(
             f"mip atlas needs ({h}, {w}) divisible by 2^{levels}"
         )
+    if h % 2:
+        raise ValueError(f"mip atlas needs even height, got {h}")
     q0 = quantize_packed(pack_quad(tex), tex_dtype)
-    atlas = jnp.zeros((h, 2 * w) + q0.shape[2:], q0.dtype)
-    atlas = atlas.at[:, :w].set(q0)
+    atlas = jnp.zeros((h + h // 2, w) + q0.shape[2:], q0.dtype)
+    atlas = atlas.at[:h].set(q0)
     cur = tex
-    off = w
+    off = 0
     n_levels = 1
     for _ in range(levels):
         if cur.shape[0] < 2 or cur.shape[1] < 2:
@@ -298,16 +314,19 @@ def build_mip_atlas_quad(tex: jnp.ndarray, levels: int, tex_dtype):
             + cur[0::2, 1::2] + cur[1::2, 1::2]
         ) * 0.25
         q = quantize_packed(pack_quad(cur), tex_dtype)
-        atlas = atlas.at[: cur.shape[0], off: off + cur.shape[1]].set(q)
+        atlas = atlas.at[
+            h: h + cur.shape[0], off: off + cur.shape[1]
+        ].set(q)
         off += cur.shape[1]
         n_levels += 1
     return atlas, n_levels
 
 
 def pack_mip_atlas_from_pyramid(mips: jnp.ndarray, tex_dtype) -> jnp.ndarray:
-    """Atlas (see build_mip_atlas_quad) from an already-built padded f32
-    pyramid — for callers that also keep the pyramid (Renderer), so the
-    2x2 downsample chain is not recomputed per texture update."""
+    """Atlas (see build_mip_atlas_quad — same bottom-packed layout)
+    from an already-built padded f32 pyramid — for callers that also
+    keep the pyramid (Renderer), so the 2x2 downsample chain is not
+    recomputed per texture update."""
     n_levels = int(mips.shape[0])
     h, w = int(mips.shape[1]), int(mips.shape[2])
     levels = n_levels - 1
@@ -315,14 +334,16 @@ def pack_mip_atlas_from_pyramid(mips: jnp.ndarray, tex_dtype) -> jnp.ndarray:
         raise ValueError(
             f"mip atlas needs ({h}, {w}) divisible by 2^{levels}"
         )
+    if h % 2:
+        raise ValueError(f"mip atlas needs even height, got {h}")
     q0 = quantize_packed(pack_quad(mips[0]), tex_dtype)
-    atlas = jnp.zeros((h, 2 * w) + q0.shape[2:], q0.dtype)
-    atlas = atlas.at[:, :w].set(q0)
-    off = w
+    atlas = jnp.zeros((h + h // 2, w) + q0.shape[2:], q0.dtype)
+    atlas = atlas.at[:h].set(q0)
+    off = 0
     for lvl in range(1, n_levels):
         lh, lw = h >> lvl, w >> lvl
         q = quantize_packed(pack_quad(mips[lvl, :lh, :lw]), tex_dtype)
-        atlas = atlas.at[:lh, off: off + lw].set(q)
+        atlas = atlas.at[h: h + lh, off: off + lw].set(q)
         off += lw
     return atlas
 
@@ -341,13 +362,17 @@ def sample_disk_mip_atlas(
     """Mip-LOD sample from a quad-packed mip ATLAS (one gather/sample).
 
     Same uv math and blend as :func:`sample_disk_mip_quad` (bit-equal
-    results, asserted by tests); only the level addressing differs —
-    level l's columns start at ``atlas_w - 2 * (W >> l)``, a pure
-    arithmetic offset (no per-sample level-table lookup).
+    results, asserted by tests); only the level addressing differs.
+    Bottom-packed layout (see build_mip_atlas_quad): level 0 occupies
+    rows [0, H) at stride W — flat indices identical to the plain quad
+    table, keeping the dominant level-0 gathers byte-dense — and level
+    l >= 1 sits in rows [H, H + (H >> l)) at column offset
+    ``W - 2 * (W >> l)``; both are pure arithmetic offsets (no
+    per-sample level-table lookup).
     """
-    base_h = qatlas.shape[0]
-    atlas_w = qatlas.shape[1]
-    base_w = atlas_w // 2
+    atlas_h = qatlas.shape[0]
+    base_h = atlas_h * 2 // 3
+    base_w = qatlas.shape[1]
     r, phi = _disk_polar(hit_x, hit_y, t_offset, fast_trig=True)
 
     lod_i = jnp.clip(lod, 0.0, num_levels - 1).astype(jnp.int32)
@@ -365,9 +390,10 @@ def sample_disk_mip_atlas(
     fu = u - u0.astype(u.dtype)
     fv = v - v0.astype(v.dtype)
     fv = jnp.where(v0 < 0, 0.0, jnp.clip(fv, 0.0, 1.0))
-    col = (atlas_w - 2 * w_lod_i) + jnp.mod(u0, w_lod_i)
-    flat = jnp.clip(v0, 0, h_lod_i - 1) * atlas_w + col
-    tab2d = qatlas.reshape(base_h * atlas_w, -1)
+    col = jnp.maximum(base_w - 2 * w_lod_i, 0) + jnp.mod(u0, w_lod_i)
+    row = jnp.where(lod_i > 0, base_h, 0) + jnp.clip(v0, 0, h_lod_i - 1)
+    flat = row * base_w + col
+    tab2d = qatlas.reshape(atlas_h * base_w, -1)
     batch_shape = flat.shape
 
     out = _quad_blend_map(

@@ -206,14 +206,16 @@ def shade_frame(
     alpha_total = jnp.zeros((n,), trace.hits.dtype)
 
     if disk_qmips is not None:
-        # Texture layout: 3-D (H, 2W, C') = quad-packed mip ATLAS
-        # (ops.sampling.build_mip_atlas_quad, the production LOD
-        # layout); 4-D (L, H, W, C') = padded quad pyramid (legacy /
+        # Texture layout: 3-D (H + H//2, W, C') = quad-packed
+        # bottom-packed mip ATLAS (ops.sampling.build_mip_atlas_quad,
+        # the production LOD layout — level 0 dense in the first H
+        # rows); 4-D (L, H, W, C') = padded quad pyramid (legacy /
         # arbitrary-size fallback). Level 0 geometry for the LOD
         # gradient scale is identical either way.
         is_atlas = disk_qmips.ndim == 3
         if is_atlas:
-            dtex_h, dtex_w = disk_qmips.shape[0], disk_qmips.shape[1] // 2
+            dtex_h = disk_qmips.shape[0] * 2 // 3
+            dtex_w = disk_qmips.shape[1]
         else:
             dtex_h, dtex_w = disk_qmips.shape[1], disk_qmips.shape[2]
         max_hits = jnp.max(trace.hit_count)
@@ -247,7 +249,7 @@ def shade_frame(
                     r_inner, r_outer, t_offset, lod,
                 )
             else:
-                level0 = (disk_qmips[:, :dtex_w] if is_atlas
+                level0 = (disk_qmips[:dtex_h] if is_atlas
                           else disk_qmips[0])
                 rgba = sample_disk_quad(
                     level0, hit_x, hit_y, r_inner, r_outer, t_offset

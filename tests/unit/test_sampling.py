@@ -276,7 +276,12 @@ def test_mip_atlas_matches_padded_pyramid_sampler():
         atlas, n_levels = build_mip_atlas_quad(tex, 4, dtype)
         assert n_levels == int(mips.shape[0])
         assert n_levels == mip_atlas_level_count(64, 256, 4)
-        assert atlas.shape[1] == 2 * qmips.shape[2]
+        # Bottom-packed layout: level 0 dense in the first H rows at
+        # stride W, levels 1+ in the H//2 extra rows below.
+        assert atlas.shape[0] == qmips.shape[1] * 3 // 2
+        assert atlas.shape[1] == qmips.shape[2]
+        np.testing.assert_array_equal(
+            np.asarray(atlas[:64]), np.asarray(qmips[0]))
 
         n = 4096
         hx = jnp.asarray(rng.uniform(-3.6, 3.6, n).astype(np.float32))
