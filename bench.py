@@ -29,14 +29,21 @@ BENCH_r{N}.json round over round:
                          banded lax.map) — THE shade-pass floor;
                          DESIGN.md lessons 10/12 rest on this number
   v2_frame_ms            FHD disk_v2 volume frame (8-sample transfer)
-  sd_video_fps           SD orbit video end-to-end, warm steady state
-                         (render + PNG + inline H.264; includes host
-                         fetch — see README footnote 1)
+  sd_video_fps           SD orbit video end-to-end over 48 frames
+                         (render + PNG + inline H.264 + per-call
+                         startup; includes host fetch — see README
+                         footnote 1; ±2-3 s session-dependent startup
+                         variance through the relay)
+  sd_video_steady_fps    the engine's sustained batch-loop rate for
+                         the same run (warmup batch excluded) — what a
+                         long video converges to; the stable
+                         regression signal for the video engine
   interactive_sd_fps     InteractiveSession.step throughput (SD,
                          dynamic texture, render + host fetch) via
                          the fused one-dispatch-per-frame engine
   v2_sd_video_fps        SD orbit video, V2 volume model through the
-                         same sharded engine
+                         same sharded engine (+ v2_sd_video_steady_fps,
+                         as above)
   e2e_golden             {scene family: bool} golden verification on
                          this backend (+ cross-backend bounds);
                          e2e_golden_ok = all families pass
@@ -389,6 +396,17 @@ def time_video_sd(n_frames: int = 48, disk_model: str = "texture") -> float:
 
     ``disk_model="v2"`` times the same engine running the V2 volume
     integrator per frame (trace + shade_frame_v2, no texture pipeline).
+
+    Returns (end_to_end_fps, steady_fps): the end-to-end figure
+    includes per-call startup (skybox load, lifecycle packing, jit
+    re-trace, H.264 finalize) amortized over only ``n_frames`` — it is
+    what a short video costs, and it carries ±2-3 s of relay-dependent
+    startup variance between sessions (measured 8.9-14.6 for the same
+    engine state across rounds). ``steady_fps`` is the engine's
+    sustained batch-loop rate (reported by render_video_sharded,
+    excluding the warmup batch) — what a long production video
+    converges to, and the number that actually detects engine
+    regressions.
     """
     import contextlib
     import os
@@ -402,7 +420,7 @@ def time_video_sd(n_frames: int = 48, disk_model: str = "texture") -> float:
     n_shards = len(jax.devices())
     fpd = min(16, -(-n_frames // n_shards))  # = timed pass's batch shape
 
-    def run(frames: int, td: str) -> float:
+    def run(frames: int, td: str):
         cfg = SceneConfig(
             resolution="sd", pov=(6.0, 0.0, 0.5), fov=90.0,
             step_size=0.1, disk_inner_radius=2.0,
@@ -416,14 +434,16 @@ def time_video_sd(n_frames: int = 48, disk_model: str = "texture") -> float:
         # The engine prints progress to stdout; bench.py's stdout
         # must stay a single JSON line for the driver.
         with contextlib.redirect_stdout(sys.stderr):
-            render_video_sharded(cfg)
-        return time.perf_counter() - t0
+            stats = render_video_sharded(cfg)
+        return time.perf_counter() - t0, stats or {}
 
     with tempfile.TemporaryDirectory() as td:
         run(n_shards * fpd, td)  # compile + warm (one full dispatch batch)
     with tempfile.TemporaryDirectory() as td:
-        dt = run(n_frames, td)
-    return round(n_frames / dt, 2)
+        dt, stats = run(n_frames, td)
+    steady = stats.get("steady_fps")
+    return (round(n_frames / dt, 2),
+            round(steady, 2) if steady else None)
 
 
 def time_gather(n_indices: int = 1920 * 1080, reps: int = 8) -> float:
@@ -507,7 +527,7 @@ def time_interactive(n_frames: int = 40) -> float:
     return round(n_frames / dt, 2)
 
 
-def golden_check() -> dict:
+def golden_check(beat=None) -> dict:
     """Run the e2e golden verification (tests/e2e_render.py) for every
     scene family ON THIS BACKEND — same-backend tolerance + cross-
     backend bounds. Emitting the result in the driver artifact makes
@@ -516,7 +536,10 @@ def golden_check() -> dict:
     /root/reference/tests/e2e_baseline.txt:1).
 
     Returns {family: bool}; a missing golden or a tolerance failure is
-    False for that family.
+    False for that family. ``beat`` (optional) is called between
+    scenes so the stall watchdog sees six short renders, not one long
+    metric — on a cold cache the combined families (incl. the video
+    engine) can legitimately exceed the single-metric stall limit.
     """
     import contextlib
     import importlib
@@ -530,6 +553,8 @@ def golden_check() -> dict:
     e2e = importlib.import_module("e2e_render")
     out = {}
     for scene in sorted(e2e.SCENES):
+        if beat is not None:
+            beat()
         # verify() prints its diagnostics; stdout must stay one JSON
         # line for the driver.
         try:
@@ -744,11 +769,17 @@ def main() -> int:
 
     aux("fhd_trace_ms", lambda: trace_metrics(False, ""))
     aux("fhd_trace_aa_ms", lambda: trace_metrics(True, "_aa"))
+    def video_metric(key, **kw):
+        fps, steady = time_video_sd(**kw)
+        result[f"{key.replace('_fps', '')}_steady_fps"] = steady
+        return fps
+
     aux("sd_frame_ms",
         lambda: round(time_resolution("sd", 32, skybox_q, tex_dtype), 2))
-    aux("sd_video_fps", time_video_sd)
+    aux("sd_video_fps", lambda: video_metric("sd_video_fps"))
     aux("interactive_sd_fps", time_interactive)
-    aux("v2_sd_video_fps", lambda: time_video_sd(disk_model="v2"))
+    aux("v2_sd_video_fps",
+        lambda: video_metric("v2_sd_video_fps", disk_model="v2"))
     aux("hd_frame_ms",
         lambda: round(time_resolution("hd", 32, skybox_q, tex_dtype), 2))
     aux("fhd_aa_frame_ms",
@@ -778,8 +809,10 @@ def main() -> int:
               "fhd", 16, skybox_q, tex_dtype, lens_flare=True), 2))
     aux("gather_ns_per_index", time_gather)
     # Golden verification on the production backend: every scene
-    # family, same-backend tolerance + cross-backend bounds.
-    aux("e2e_golden", golden_check)
+    # family, same-backend tolerance + cross-backend bounds. Per-scene
+    # heartbeat: six short renders, not one watchdog-tripping metric.
+    aux("e2e_golden", lambda: golden_check(
+        beat=lambda: state.__setitem__("beat", time.monotonic())))
     result["e2e_golden_ok"] = (
         isinstance(result.get("e2e_golden"), dict)
         and all(result["e2e_golden"].values())

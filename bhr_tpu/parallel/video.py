@@ -671,6 +671,8 @@ def render_video_sharded(config: SceneConfig) -> None:
             _stack.enter_context(_abort_fleet_on_error())
         _stack.enter_context(assembler)
 
+        batch_done_t = [time.time()]  # loop start, then one per batch
+
         def process(b, chunk, out):
             """Fetch + durably record one dispatched batch."""
             for pos, frame in _fetch_addressable_frames(out):
@@ -699,6 +701,7 @@ def render_video_sharded(config: SceneConfig) -> None:
                     progress_file,
                     {"params": params, "completed": sorted(completed)},
                 )
+            batch_done_t.append(time.time())
             if (b + 1) % 10 == 0 or b == n_batches - 1:
                 done = len(completed)
                 # Rate over THIS session's frames only — `completed`
@@ -734,10 +737,26 @@ def render_video_sharded(config: SceneConfig) -> None:
 
         say(f"All frames rendered in "
             f"{(time.time() - total_t0) / 60:.1f} min")
+        # Steady-state loop rate: frames/s over the post-first batches
+        # (the first batch absorbs dispatch warmup). End-to-end
+        # throughput divides out startup (skybox load, packing, jit
+        # re-trace, H.264 finalize) over however few frames the video
+        # has; the steady rate is the engine's sustained speed and is
+        # what a long production video converges to. Returned so
+        # bench.py can emit BOTH without parsing stdout.
+        steady_fps = None
+        if len(batch_done_t) > 2:
+            span = batch_done_t[-1] - batch_done_t[1]
+            steady_fps = ((len(batch_done_t) - 2) * batch) / max(span, 1e-9)
+        stats = {
+            "frames": len(pending),
+            "wall_s": time.time() - total_t0,
+            "steady_fps": steady_fps,
+        }
         if n_proc == 1:
             if assembler.finalize():
                 print(f"Video saved: {output_path}")
-                return
+                return stats
         if pid == 0:
             from ..modes import _assemble_video
 
@@ -746,3 +765,4 @@ def render_video_sharded(config: SceneConfig) -> None:
     # Hold every process until the video exists, so no one tears down
     # the coordination service while process 0 is still assembling.
     barrier("bhr-video-assembled")
+    return stats

@@ -203,6 +203,11 @@ def test_frame_shards_above_device_count_warns(tmp_path, capsys):
         frames_per_dispatch=1,
         output=str(tmp_path / "warn.mp4"),
     ).validated()
-    render_video_sharded(cfg)
+    stats = render_video_sharded(cfg)
     out = capsys.readouterr().out
     assert "exceeds" in out and "4096" in out
+    # Stats contract (bench.py consumes this): frames rendered + wall
+    # time always present; steady_fps needs >= 2 batches, so this
+    # single-batch video reports None.
+    assert stats["frames"] == 2 and stats["wall_s"] > 0
+    assert stats["steady_fps"] is None or stats["steady_fps"] > 0
