@@ -29,7 +29,29 @@ extern "C" {
 #include <cstring>
 #include <new>
 
+#if defined(__x86_64__) || defined(__i386__)
+#include <xmmintrin.h>
+#define BHR_HAVE_MXCSR 1
+#endif
+
 namespace {
+
+// Pin the SSE floating-point environment for the duration of any call
+// that runs encoder float code. XLA's CPU client sets FTZ/DAZ
+// (flush-denormals) in MXCSR on threads it initializes, and libx264's
+// rate control / adaptive quantization uses floats whose decisions can
+// flip under a different FP environment — so the SAME frames encoded
+// before vs after a jax op produced different (each internally
+// deterministic) bitstreams. Scoping every encoder entry point to the
+// default MXCSR (0x1F80) makes the stream a pure function of the
+// input bytes, whatever the host process has done to its FP state.
+struct FpEnvGuard {
+#ifdef BHR_HAVE_MXCSR
+  unsigned int saved;
+  FpEnvGuard() : saved(_mm_getcsr()) { _mm_setcsr(0x1F80); }
+  ~FpEnvGuard() { _mm_setcsr(saved); }
+#endif
+};
 
 struct FastVideo {
   AVFormatContext *fmt = nullptr;
@@ -38,6 +60,7 @@ struct FastVideo {
   SwsContext *sws = nullptr;
   AVFrame *frame = nullptr;
   AVPacket *pkt = nullptr;
+  uint8_t *rgb_buf = nullptr;  // av_malloc-aligned staging copy
   int64_t pts = 0;
   int width = 0;
   int height = 0;
@@ -46,6 +69,7 @@ struct FastVideo {
 
 void destroy(FastVideo *v) {
   if (!v) return;
+  if (v->rgb_buf) av_freep(&v->rgb_buf);
   if (v->sws) sws_freeContext(v->sws);
   if (v->frame) av_frame_free(&v->frame);
   if (v->pkt) av_packet_free(&v->pkt);
@@ -93,6 +117,7 @@ void *fastvideo_open(const char *path, int32_t width, int32_t height,
   if (!path || width <= 0 || height <= 0 || fps <= 0) return nullptr;
   if ((width | height) & 1) return nullptr;  // yuv420p needs even dims
   if (crf < 0 || crf > 51) crf = 18;
+  FpEnvGuard fp_guard;
   av_log_set_level(AV_LOG_ERROR);
 
   FastVideo *v = new (std::nothrow) FastVideo();
@@ -133,6 +158,16 @@ void *fastvideo_open(const char *path, int32_t width, int32_t height,
   // explicit bitrate budget (~0.15 bits/pixel at the target framerate,
   // FHD@24 ≈ 7.5 Mbit/s) instead of that encoder's default rate
   // control, which can be far below visually-lossless.
+  // One encoder thread, always: x264 auto-threading picks a count from
+  // the CPU state it detects at open time, and the BITSTREAM depends
+  // on that count (frame-threaded lookahead/rate control) — two
+  // encodes of identical frames in the same process diverged once a
+  // library load changed the detected state. A fixed count makes every
+  // encode bit-reproducible (inline-vs-post-pass identity is a tested
+  // invariant); encoding is not a pipeline bottleneck at any
+  // supported size (the video loop is transfer-bound well below
+  // single-thread veryfast rates).
+  v->enc->thread_count = 1;
   av_opt_set(v->enc->priv_data, "preset", "veryfast", 0);
   char crf_s[8];
   std::snprintf(crf_s, sizeof crf_s, "%d", crf);
@@ -155,12 +190,40 @@ void *fastvideo_open(const char *path, int32_t width, int32_t height,
     destroy(v);
     return nullptr;
   }
+  // BITEXACT + ACCURATE_RND: plain SWS_BILINEAR selects SIMD paths by
+  // the SOURCE POINTER's alignment, and those paths round chroma
+  // differently — two encodes of byte-identical frames diverged
+  // whenever the numpy allocator handed the callers differently
+  // aligned buffers (tracked down via the inline-vs-post-pass video
+  // identity test). The bitexact path is alignment-independent, so
+  // the encoded stream is a pure function of the input bytes.
   v->sws = sws_getContext(width, height, AV_PIX_FMT_RGB24, width, height,
-                          AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr,
-                          nullptr);
+                          AV_PIX_FMT_YUV420P,
+                          SWS_BILINEAR | SWS_BITEXACT | SWS_ACCURATE_RND,
+                          nullptr, nullptr, nullptr);
   if (!v->sws) {
     destroy(v);
     return nullptr;
+  }
+  // Staging copy for the caller's RGB bytes. swscale's SIMD RGB24
+  // reader OVERREADS past the end of the source buffer (its API
+  // expects av_malloc'd, padding-sized inputs), and those out-of-range
+  // bytes leak into the converted chroma at the frame edge — so two
+  // encodes of byte-identical numpy frames diverged whenever the
+  // allocator placed different garbage after them (tracked down via
+  // the inline-vs-post-pass video identity test). Copying into one
+  // av_malloc'd buffer whose padding is zeroed ONCE makes the encoded
+  // stream a pure function of the input bytes (~1 ms/FHD frame, far
+  // below the video loop's transfer-bound budget).
+  {
+    const size_t n = static_cast<size_t>(3) * width * height;
+    v->rgb_buf = static_cast<uint8_t *>(
+        av_malloc(n + AV_INPUT_BUFFER_PADDING_SIZE + 64));
+    if (!v->rgb_buf) {
+      destroy(v);
+      return nullptr;
+    }
+    std::memset(v->rgb_buf, 0, n + AV_INPUT_BUFFER_PADDING_SIZE + 64);
   }
 
   if (!(v->fmt->oformat->flags & AVFMT_NOFILE) &&
@@ -181,8 +244,11 @@ void *fastvideo_open(const char *path, int32_t width, int32_t height,
 int fastvideo_write_frame(void *handle, const uint8_t *rgb) {
   FastVideo *v = static_cast<FastVideo *>(handle);
   if (!v || !rgb) return 1;
+  FpEnvGuard fp_guard;
   if (av_frame_make_writable(v->frame) < 0) return 2;
-  const uint8_t *src[1] = {rgb};
+  std::memcpy(v->rgb_buf, rgb,
+              static_cast<size_t>(3) * v->width * v->height);
+  const uint8_t *src[1] = {v->rgb_buf};
   const int src_stride[1] = {3 * v->width};
   sws_scale(v->sws, src, src_stride, 0, v->height, v->frame->data,
             v->frame->linesize);
@@ -203,6 +269,7 @@ void fastvideo_abort(void *handle) {
 int fastvideo_close(void *handle) {
   FastVideo *v = static_cast<FastVideo *>(handle);
   if (!v) return 1;
+  FpEnvGuard fp_guard;  // drain() still encodes queued frames
   int rc = 0;
   if (v->header_written) {
     if (drain(v, true) < 0) rc = 2;
