@@ -9,7 +9,17 @@ framework's implementations, plus per-component visualizations
 
 Usage:
     python tools/rotation_experiments.py [--n_phi 512] [--n_r 128] [--t 5.0]
-        [--out output/rotation_experiments]
+        [--out output/rotation_experiments] [--verify]
+
+``--verify`` additionally ASSERTS the suite's conclusions (the
+reference's verify_fix.py pattern): the roll strategy must beat full
+regeneration per frame, keyframe interpolation must show real (but
+bounded) blending error, every component plane must advect coherently
+under the per-row roll (phase-correlation peak at the predicted
+Keplerian shift), and the rotating-coords background must stay within
+the documented residual of the rigid roll. Exit 1 on any violation —
+the archived REPORT.md under docs/experiments/rotation/ was produced
+by a --verify run, so its conclusions are machine-checked, not prose.
 """
 
 import argparse
@@ -38,7 +48,17 @@ def main() -> int:
     # the interpolation error metric reads 0 without measuring.
     ap.add_argument("--t", type=float, default=5.5)
     ap.add_argument("--out", type=str, default="output/rotation_experiments")
+    ap.add_argument("--verify", action="store_true",
+                    help="assert the suite's conclusions (exit 1 on any "
+                         "violation) — the verify_fix.py analogue")
     args = ap.parse_args()
+    failures: list = []
+
+    def check(ok: bool, msg: str) -> None:
+        status = "ok" if ok else "FAIL"
+        print(f"  verify [{status}] {msg}")
+        if not ok:
+            failures.append(msg)
 
     from bhr_tpu.models.disk_texture import (
         build_parametric_state,
@@ -211,12 +231,14 @@ def main() -> int:
         "| component | mean | max |",
         "|---|---|---|",
     ]
+    ab_residuals = {}
     for i, name in enumerate(bg_names):
         if name.startswith("spiral"):
             continue  # forced to zero in the background path
         rolled = _roll_plane(bg0[i], omega, args.t)
         d = np.abs(bgt[i] - rolled)
         scale = max(np.abs(bg0[i]).max(), 1e-9)
+        ab_residuals[name] = float(d.mean() / scale)
         print(f"  {name:12s} mean {d.mean() / scale:.4f} "
               f"max {d.max() / scale:.3f} (of plane peak)")
         report.append(f"| {name} | {d.mean() / scale:.4f} "
@@ -240,11 +262,74 @@ def main() -> int:
         "t-offsets), ab_<name>.png (A/B strips: rotating-coords | "
         "rolled | 5x diff).",
     ]
+    if args.verify:
+        print("\nVerification (reference analogue: "
+              "disk_rotation_experiments/verify_fix.py):")
+        # 1) Ranking: the per-frame roll must beat full regeneration.
+        check(roll_s < regen_s,
+              f"parametric roll ({roll_s * 1e3:.1f} ms) beats full "
+              f"regeneration ({regen_s * 1e3:.1f} ms) per frame")
+        # 2) Keyframe interpolation shows REAL blending error at
+        #    fractional t (zero would mean the experiment degenerated),
+        #    but bounded — it still resembles the rolled texture.
+        check(1e-6 < diff.mean() < 0.2,
+              f"keyframe blending error measurable and bounded "
+              f"(mean {diff.mean():.4f})")
+        # 3) Advection correctness (the bug class the reference's suite
+        #    existed to catch: rotation sign/rate): for every component
+        #    with azimuthal structure, the circular cross-correlation
+        #    of a rolled row against the original must peak exactly at
+        #    the predicted Keplerian pixel shift.
+        shift = (args.t * omega / (2.0 * np.pi) * args.n_phi).astype(int)
+        for idx, name in enumerate(COMPONENT_NAMES):
+            plane = comp[idx]
+            rolled = _roll_plane(plane, omega, args.t)
+            row = args.n_r // 3
+            x = plane[row] - plane[row].mean()
+            # Skip planes without azimuthal structure at this row
+            # (disabled spiral slices; the radial-only temp base) —
+            # a near-constant row correlates everywhere.
+            if float(np.std(x)) < 0.01 * (float(np.abs(plane).max()) + 1e-9):
+                continue
+            y = rolled[row] - rolled[row].mean()
+            corr = np.fft.ifft(
+                np.fft.fft(y) * np.conj(np.fft.fft(x))
+            ).real
+            want = int(np.mod(-shift[row], args.n_phi))
+            # The predicted Keplerian lag must be A maximum of the
+            # circular cross-correlation ('a', not 'the': periodic
+            # planes like the az-hotspot wave have one equal peak per
+            # period — any of them certifies the same shift).
+            check(corr[want] >= 0.999 * float(corr.max()),
+                  f"{name}: rolled row correlation peaks at the "
+                  f"predicted Keplerian shift (lag {want})")
+        # 4) The rotating-coords background tracks the rigid roll
+        #    within the documented residual envelope (macro structure
+        #    aligned; high-frequency noise layers genuinely evolve).
+        for name, frac in ab_residuals.items():
+            check(frac < 0.35,
+                  f"background {name}: rotating-coords vs roll mean "
+                  f"residual {frac:.3f} of peak < 0.35")
+        report += [
+            "",
+            "## Verification",
+            "",
+            f"--verify run: {len(failures)} failures. Checks: ranking "
+            "(roll beats regen), bounded keyframe blending error, "
+            "phase-correlation advection test per component (rotation "
+            "sign + Keplerian rate), background residual envelope.",
+        ]
+
     with open(os.path.join(args.out, "REPORT.md"), "w") as f:
         f.write("\n".join(report) + "\n")
 
     print(f"\nWrote textures + 13 component maps + 13 rotation strips "
           f"+ A/B strips + REPORT.md to {args.out}/")
+    if failures:
+        print(f"VERIFY FAILED ({len(failures)}):")
+        for msg in failures:
+            print(f"  - {msg}")
+        return 1
     return 0
 
 
