@@ -22,8 +22,28 @@ N_PHI, N_R = compute_disk_texture_resolution(
 )
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _no_persistent_compile_cache():
+    """Budgets must time natively-compiled code.
+
+    Earlier tests in the same process can enable the persistent XLA
+    cache (the CLI does, bhr_tpu/cli.py), and that cache is shared
+    across rounds AND machines — CPU entries compiled on a different
+    host AOT-load in a degraded mode ("target machine feature ... not
+    supported", observed pushing the dynamic-frame budget from ~1.2 s
+    to 1.8 s). Disable the cache for this module's compiles and
+    restore afterwards.
+    """
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
+
+
 @pytest.fixture(scope="module")
-def dyn():
+def dyn(_no_persistent_compile_cache):
     system = DynamicDiskSystem(N_R, N_PHI, 2.0, 15.0, seed=42)
     # warm up all jit paths
     system.advance(0.0, 0.0, recompute_stats=True)
