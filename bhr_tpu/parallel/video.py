@@ -114,6 +114,46 @@ def pack_frame_params(
 _RENDERER_MEMO: dict = {}
 _RENDERER_MEMO_MAX = 16
 
+# Device-resident quantized skybox, memoized per scene asset: every
+# render_video_sharded call formerly re-read the ~25 MB skybox .npy and
+# re-dispatched the quantize program — 0.5-1 s of the per-call startup
+# the 48-frame sd_video_fps metric amortizes over so few frames.
+# Procedural skyboxes are deterministic in the key; file textures key
+# on (path, mtime) so an edited asset is picked up. Two entries cover
+# any realistic session (a scene + an A/B).
+_SKYBOX_Q_MEMO: dict = {}
+_SKYBOX_Q_MEMO_MAX = 2
+
+
+def _skybox_q_memoized(config: SceneConfig, tex_dtype) -> jnp.ndarray:
+    import os as _os
+
+    from ..models.skybox import load_or_generate_skybox
+
+    if config.texture and _os.path.isfile(config.texture):
+        src_key = ("file", config.texture,
+                   _os.path.getmtime(config.texture))
+    else:
+        src_key = ("procedural", int(config.n_stars),
+                   int(config.skybox_seed))
+    key = src_key + (jnp.dtype(tex_dtype).name,)
+    hit = _SKYBOX_Q_MEMO.get(key)
+    if hit is not None:
+        _SKYBOX_Q_MEMO.pop(key)
+        _SKYBOX_Q_MEMO[key] = hit  # LRU refresh
+        return hit
+    skybox, _, _ = load_or_generate_skybox(
+        config.texture, 2048, 1024, config.n_stars,
+        seed=config.skybox_seed,
+    )
+    skybox_q = jax.jit(lambda t: quantize_packed(pack_quad(t), tex_dtype))(
+        jnp.asarray(skybox, jnp.float32)
+    )
+    if len(_SKYBOX_Q_MEMO) >= _SKYBOX_Q_MEMO_MAX:
+        _SKYBOX_Q_MEMO.pop(next(iter(_SKYBOX_Q_MEMO)))
+    _SKYBOX_Q_MEMO[key] = skybox_q
+    return skybox_q
+
 
 def build_sharded_video_renderer(
     mesh: Mesh,
@@ -565,13 +605,8 @@ def render_video_sharded(config: SceneConfig) -> None:
         completed = {int(f) for f in np.nonzero(mask)[0]}
         os.makedirs(temp_dir, exist_ok=True)
 
-    skybox, _, _ = load_or_generate_skybox(
-        config.texture, 2048, 1024, config.n_stars, seed=config.skybox_seed
-    )
     tex_dtype = production_tex_dtype()
-    skybox_q = jax.jit(lambda t: quantize_packed(pack_quad(t), tex_dtype))(
-        jnp.asarray(skybox, jnp.float32)
-    )
+    skybox_q = _skybox_q_memoized(config, tex_dtype)
     if n_proc > 1:
         skybox_q = globalize_host_array(
             mesh, P(), np.asarray(jax.device_get(skybox_q))
