@@ -97,15 +97,22 @@ OPS_PER_STEP_AA = 650.0
 ARITH_FLOPS_PER_STEP_SLIM = 196.0
 ARITH_FLOPS_PER_STEP_AA = 550.0
 
-# Metrics whose DEFINITION changed this round: the regression gate
-# skips them (a definitional step is not a performance regression) and
-# notes why in the artifact. vpu_*: recalibrated op-model constants
-# (above) lower the slim-kernel utilization numbers ~15-20% at
-# unchanged physics throughput — mray_steps_per_s, which shares the
-# measurement, stays comparable and gated.
+# Metrics whose DEFINITION changed in round REDEFINED_IN_ROUND: the
+# regression gate skips them ONLY when comparing against an artifact
+# from an earlier round (a definitional step is not a performance
+# regression) and notes why in the artifact; from the next round on
+# they are gated normally again — a permanent skip would reopen the
+# exact silent-drift hole the gate exists to close. vpu_*:
+# recalibrated op-model constants (above) lower the slim-kernel
+# utilization numbers ~15-20% (AA ~2%) at unchanged physics
+# throughput — mray_steps_per_s, which shares the measurement, stays
+# comparable and gated across the step.
+REDEFINED_IN_ROUND = 5
 REDEFINED_METRICS = {
     "vpu_mfu": "op model recalibrated (300/245 -> 256/196 ops/step)",
     "vpu_issue_util": "op model recalibrated (300/245 -> 256/196)",
+    "vpu_mfu_aa": "op model recalibrated (646/561 -> 650/550 ops/step)",
+    "vpu_issue_util_aa": "op model recalibrated (646/561 -> 650/550)",
 }
 
 # v5e VPU f32 peak: 8x128-lane vregs x 4 ALUs x ~940 MHz per TensorCore
@@ -418,7 +425,13 @@ def time_video_sd(n_frames: int = 48, disk_model: str = "texture") -> float:
     from bhr_tpu.parallel.video import render_video_sharded
 
     n_shards = len(jax.devices())
-    fpd = min(16, -(-n_frames // n_shards))  # = timed pass's batch shape
+    # Pin frames-per-dispatch so (a) the warm and timed compiled batch
+    # shapes match on any device count and (b) the timed pass runs >= 3
+    # batches wherever n_frames allows — steady_fps averages the
+    # post-warmup batch intervals, so a single-batch run (the adaptive
+    # ceil rule on 3+ devices) would report null and a 2-batch run
+    # derives it from one half-padded interval.
+    fpd = max(1, min(16, n_frames // (3 * n_shards)))
 
     def run(frames: int, td: str):
         cfg = SceneConfig(
@@ -677,7 +690,7 @@ def _regression_check(result: dict) -> None:
     regressions = {}
     notes = {}
     for key, old in prev["metrics"].items():
-        if key in REDEFINED_METRICS:
+        if key in REDEFINED_METRICS and prev["round"] < REDEFINED_IN_ROUND:
             notes[key] = REDEFINED_METRICS[key]
             continue
         direction = _metric_direction(key)

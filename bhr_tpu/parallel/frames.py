@@ -160,10 +160,11 @@ def build_sharded_frame_renderer(
                 img = jnp.clip(bg + disk_rgb, 0.0, 1.0)
                 return img.reshape(rows_local, width, 3)
             if has_disk and disk_mips.ndim == 3:
-                # Quad mip atlas (H, 2W, C): the level count travels
-                # with the atlas (the builder returned it) — a
-                # re-derivation here could silently disagree with the
-                # builder's `levels` and mis-address the atlas columns.
+                # Bottom-packed quad mip atlas (H + H//2, W, C): the
+                # level count travels with the atlas (the builder
+                # returned it) — a re-derivation here could silently
+                # disagree with the builder's `levels` and mis-address
+                # the atlas level regions.
                 if atlas_num_levels is None:
                     raise ValueError(
                         "disk_mips is a mip atlas; pass atlas_num_levels"

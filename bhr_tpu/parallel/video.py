@@ -494,9 +494,12 @@ def render_video_frames_sharded(
     return _fetch_addressable_frames(out), renderer_fn
 
 
-def render_video_sharded(config: SceneConfig) -> None:
+def render_video_sharded(config: SceneConfig) -> dict:
     """Full sharded video driver: batches of frames across the mesh with
     the same resume protocol as the sequential path (modes.render_video).
+    Returns run stats {frames, wall_s, steady_fps} (steady_fps = the
+    sustained post-warmup batch rate, None when fewer than two
+    post-warmup batches ran); most callers ignore it, bench.py emits it.
 
     Batch size = frames_axis * frames_per_device; progress.json is
     updated after each completed batch, so interrupting loses at most
@@ -514,13 +517,11 @@ def render_video_sharded(config: SceneConfig) -> None:
     import os
     import time
 
-    from ..models.skybox import load_or_generate_skybox
     from ..modes import (
         load_video_progress,
         video_resume_params,
         video_temp_paths,
     )
-    from ..ops.sampling import pack_quad
     from ..utils.io import AsyncPNGWriter, write_json_atomic
     from .mesh import make_frame_mesh
 

@@ -34,12 +34,12 @@ def test_metric_directions():
 
 def test_regression_check_flags_and_skips(monkeypatch):
     prev = {
-        "round": 9,
+        "round": bench.REDEFINED_IN_ROUND - 1,  # pre-recalibration round
         "metrics": {
             "value": 50.0,              # ms, lower-better
             "fhd_trace_ms": 16.0,
             "sd_video_fps": 14.0,       # higher-better
-            "vpu_issue_util": 0.70,     # redefined -> skipped
+            "vpu_issue_util": 0.70,     # redefined -> skipped vs r4
             "sd_frame_ms": "error: x",  # non-numeric -> skipped
             "e2e_golden": {"aa": True},
         },
@@ -55,11 +55,27 @@ def test_regression_check_flags_and_skips(monkeypatch):
         "sd_frame_ms": 7.0,
     }
     bench._regression_check(result)
-    assert result["vs_prev_round"] == 9
+    assert result["vs_prev_round"] == prev["round"]
     flagged = result["regressions"]
     assert set(flagged) == {"value", "sd_video_fps"}
     assert flagged["value"]["worse_pct"] == 12.0
     assert result["metric_notes"]["vpu_issue_util"] == "recalibrated"
+
+
+def test_redefined_skip_expires_after_recalibration_round(monkeypatch):
+    """The definitional skip covers only comparisons against
+    pre-recalibration artifacts — from the next round on, a real
+    vpu_* drop must be flagged again (a permanent skip would reopen
+    the silent-drift hole the gate closes)."""
+    prev = {
+        "round": bench.REDEFINED_IN_ROUND,  # post-recalibration artifact
+        "metrics": {"vpu_issue_util": 0.61},
+    }
+    monkeypatch.setattr(bench, "_load_prev_artifact", lambda: prev)
+    result = {"vpu_issue_util": 0.50}  # -18%: real drift, same definition
+    bench._regression_check(result)
+    assert "vpu_issue_util" in result.get("regressions", {})
+    assert "metric_notes" not in result
 
 
 def test_regression_check_improvements_silent(monkeypatch):

@@ -31,9 +31,12 @@ same check in the suite.
 """
 
 import json
+import os
 import sys
 
-sys.path.insert(0, ".")
+# Location-independent: bench.py's comment tells kernel authors to
+# re-run this tool; it must work from any cwd.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Primitive classification, matching the op-model conventions
 # documented in bench.py. `clamp` lowers as one primitive but issues a
@@ -59,14 +62,23 @@ IGNORED = {
 
 
 def _walk(jaxpr, visit):
+    def descend(v):
+        inner = getattr(v, "jaxpr", None)
+        if inner is not None:
+            _walk(inner, visit)
+        elif hasattr(v, "eqns"):
+            _walk(v, visit)
+        elif isinstance(v, (tuple, list)):
+            # e.g. lax.cond's `branches` is a TUPLE of ClosedJaxprs —
+            # skipping it would silently drop every op in the branch
+            # bodies from the derived constants.
+            for item in v:
+                descend(item)
+
     for eqn in jaxpr.eqns:
         visit(eqn)
         for v in eqn.params.values():
-            inner = getattr(v, "jaxpr", None)
-            if inner is not None:
-                _walk(inner, visit)
-            elif hasattr(v, "eqns"):
-                _walk(v, visit)
+            descend(v)
 
 
 def _find(jaxpr, prim_name):
