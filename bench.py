@@ -36,8 +36,11 @@ BENCH_r{N}.json round over round:
                          variance through the relay)
   sd_video_steady_fps    the engine's sustained batch-loop rate for
                          the same run (warmup batch excluded) — what a
-                         long video converges to; the stable
-                         regression signal for the video engine
+                         long video converges to. Still fetch-bound
+                         through this environment's relay (observed
+                         14.5-19 across sessions at identical code),
+                         but free of the per-call startup noise the
+                         end-to-end figure adds on top
   interactive_sd_fps     InteractiveSession.step throughput (SD,
                          dynamic texture, render + host fetch) via
                          the fused one-dispatch-per-frame engine
@@ -412,8 +415,9 @@ def time_video_sd(n_frames: int = 48, disk_model: str = "texture") -> float:
     engine state across rounds). ``steady_fps`` is the engine's
     sustained batch-loop rate (reported by render_video_sharded,
     excluding the warmup batch) — what a long production video
-    converges to, and the number that actually detects engine
-    regressions.
+    converges to; it factors out the per-call startup noise, though
+    through this environment's relay it remains fetch-bound and
+    session-dependent (DESIGN lesson 11).
     """
     import contextlib
     import os
