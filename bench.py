@@ -715,6 +715,51 @@ def _regression_check(result: dict) -> None:
         result["regressions"] = regressions
 
 
+# Sub-metrics map back to the aux that produces them; the headline
+# ("value"/"vs_baseline") has no registered fn and is never retried
+# (it is measured first, on a fresh device — the least glitch-prone
+# slot).
+_RETRY_PARENT = {
+    "mray_steps_per_s": "fhd_trace_ms",
+    "vpu_mfu": "fhd_trace_ms",
+    "vpu_issue_util": "fhd_trace_ms",
+    "mray_steps_per_s_aa": "fhd_trace_aa_ms",
+    "vpu_mfu_aa": "fhd_trace_aa_ms",
+    "vpu_issue_util_aa": "fhd_trace_aa_ms",
+    "sd_video_steady_fps": "sd_video_fps",
+    "v2_sd_video_steady_fps": "v2_sd_video_fps",
+}
+
+
+def _retry_flagged(result: dict, fn_registry: dict, rerun) -> None:
+    """Re-measure regression-flagged metrics once before emitting.
+
+    A relayed device occasionally produces a single wild reading
+    (observed: v2_frame_ms 62 ms in one mid-bench measurement vs 49 in
+    five others the same day). A TRUE regression reproduces on the
+    immediate re-measure and stays flagged; a one-off glitch
+    self-heals instead of shipping a false alarm in the round
+    artifact. ``rerun(key, fn)`` is main()'s aux driver (it updates
+    result[key] and the watchdog heartbeat); the artifact lists the
+    re-measured metrics under "retried".
+    """
+    if not result.get("regressions"):
+        return
+    retried = []
+    for key in list(result["regressions"]):
+        owner = _RETRY_PARENT.get(key, key)
+        fn = fn_registry.get(owner)
+        if fn is None or owner in retried:
+            continue
+        retried.append(owner)
+        rerun(owner, fn)
+    if retried:
+        result["retried"] = retried
+        for stale in ("regressions", "metric_notes", "vs_prev_round"):
+            result.pop(stale, None)
+        _regression_check(result)
+
+
 def main() -> int:
     if not _default_backend_alive():
         print("bench.py: default JAX backend unavailable (device relay "
@@ -748,12 +793,17 @@ def main() -> int:
     # Secondary metrics: every README perf claim, same JSON object.
     # Failures here must not cost the headline metric — record the
     # error string instead. Each aux pops itself off state["pending"]
-    # so a stall emission can name everything not yet reached.
+    # so a stall emission can name everything not yet reached, and
+    # registers its fn so a regression-flagged metric can be re-run
+    # once before the artifact is emitted.
+    fn_registry: dict = {}
+
     def aux(key, fn):
         log(f"bench: {key} ...")
         state["current"] = key
         if key in state["pending"]:
             state["pending"].remove(key)
+        fn_registry[key] = fn
         state["beat"] = time.monotonic()
         try:
             result[key] = fn()
@@ -837,6 +887,8 @@ def main() -> int:
 
     result["elapsed_s"] = round(time.perf_counter() - t_start, 1)
     _regression_check(result)
+    _retry_flagged(result, fn_registry, aux)
+    result["elapsed_s"] = round(time.perf_counter() - t_start, 1)
     state["done"] = True
     print(json.dumps(result))
     return 0
